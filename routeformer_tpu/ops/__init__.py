@@ -1,0 +1,28 @@
+"""TPU compute kernels (Pallas) with pure-JAX fallbacks.
+
+The reference reaches native compute only through library calls (cuDNN SDPA,
+OpenCV resize/undistort, ffmpeg). Here the hot device-side ops are owned by
+this package:
+
+- ``attention``: dense flash attention (Pallas MXU kernel) + the reference's
+  attention variants (ProbSparse, AutoCorrelation) expressed TPU-natively.
+- ``image``: bilinear resize / undistort-remap / crop kernels for the video
+  input path.
+- ``heatmap``: gaze Gaussian-heatmap rasterization.
+
+Every op has a jittable pure-JAX path (used on CPU and for tiny shapes) and a
+Pallas path (used on TPU when shapes warrant it); the dispatch is automatic
+and overridable.
+"""
+
+from routeformer_tpu.ops.attention import (
+    autocorrelation_attention,
+    dot_product_attention,
+    prob_sparse_attention,
+)
+
+__all__ = [
+    "dot_product_attention",
+    "prob_sparse_attention",
+    "autocorrelation_attention",
+]
