@@ -1,0 +1,153 @@
+"""Perceiver-style cross-modal encoder/decoder (Flax NNX).
+
+Capability parity with the model half of reference
+``routeformer/models/cross_modal_transformer.py``:
+
+- ``PerceiveEncoder`` (reference :372-433): circular-conv token embedding +
+  sinusoidal PE, a stack of ProbSparse self-attention encoder layers (no
+  distillation, preserving the temporal axis), linear projection, and
+  truncation to the *last* ``out_len`` tokens.
+- ``PerceiveDecoder`` (reference :436-503): token-embeds the query sequence,
+  decodes with causal ProbSparse self-attention (``mix=True``) + dense
+  cross-attention against the value sequence, projects, truncates to the
+  last ``out_len`` tokens.
+
+These are Routeformer's fusion workhorses: frame encoder (1 token/frame),
+gaze encoder, gaze-video decoder (Q=gaze, KV=front-video features), and the
+main video encoder (reference ``models/routeformer.py:70-122``).
+"""
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import nnx
+
+from routeformer_tpu.models.layers import (
+    AttentionLayer,
+    Decoder,
+    DecoderLayer,
+    Encoder,
+    EncoderLayer,
+    FullAttention,
+    PositionalEmbedding,
+    ProbAttention,
+    TokenEmbedding,
+)
+
+
+class PerceiveEncoder(nnx.Module):
+    """ProbSparse self-attention encoder emitting the last ``out_len`` tokens."""
+
+    def __init__(
+        self,
+        in_channels: int,
+        out_channels: int,
+        out_len: int,
+        factor: int = 5,
+        d_model: int = 128,
+        n_heads: int = 8,
+        layers: int = 3,
+        d_ff: Optional[int] = None,
+        dropout: float = 0.1,
+        activation: str = "gelu",
+        output_attention: bool = False,
+        *,
+        rngs: nnx.Rngs,
+    ):
+        self.pred_len = out_len
+        self.output_attention = output_attention
+        d_ff = d_ff if d_ff is not None else 4 * d_model
+
+        self.value_embedding = TokenEmbedding(in_channels, d_model, rngs=rngs)
+        self.position_embedding = PositionalEmbedding(d_model)
+        self.encoder = Encoder(
+            [
+                EncoderLayer(
+                    AttentionLayer(
+                        ProbAttention(
+                            False, factor,
+                            attention_dropout=dropout,
+                            output_attention=output_attention,
+                            rngs=rngs,
+                        ),
+                        d_model, n_heads, mix=False, rngs=rngs,
+                    ),
+                    d_model, d_ff, dropout=dropout, activation=activation,
+                    rngs=rngs,
+                )
+                for _ in range(layers)
+            ],
+            None,  # no distillation: temporal shape must be preserved
+            norm_layer=nnx.LayerNorm(d_model, rngs=rngs),
+        )
+        self.projection = nnx.Linear(d_model, out_channels, rngs=rngs)
+
+    def __call__(self, x_enc: jnp.ndarray):
+        enc_out = self.value_embedding(x_enc) + self.position_embedding(x_enc)
+        enc_out, attns = self.encoder(enc_out, attn_mask=None)
+        enc_out = self.projection(enc_out)
+
+        if self.output_attention:
+            return enc_out[:, -self.pred_len :, :], attns
+        return enc_out[:, -self.pred_len :, :]
+
+
+class PerceiveDecoder(nnx.Module):
+    """Causal ProbSparse self-attn + dense cross-attn decoder."""
+
+    def __init__(
+        self,
+        query_channels: int,
+        value_channels: int,
+        out_channels: int,
+        out_len: int,
+        factor: int = 5,
+        n_heads: int = 8,
+        layers: int = 2,
+        d_ff: Optional[int] = None,
+        dropout: float = 0.1,
+        activation: str = "gelu",
+        mix: bool = True,
+        *,
+        rngs: nnx.Rngs,
+    ):
+        self.pred_len = out_len
+        d_model = value_channels
+        d_ff = d_ff if d_ff is not None else 4 * d_model
+
+        self.value_embedding = TokenEmbedding(query_channels, d_model, rngs=rngs)
+        self.position_embedding = PositionalEmbedding(d_model)
+        self.decoder = Decoder(
+            [
+                DecoderLayer(
+                    AttentionLayer(
+                        ProbAttention(
+                            True, factor,
+                            attention_dropout=dropout,
+                            output_attention=False, rngs=rngs,
+                        ),
+                        d_model, n_heads, mix=mix, rngs=rngs,
+                    ),
+                    AttentionLayer(
+                        FullAttention(
+                            False, factor,
+                            attention_dropout=dropout,
+                            output_attention=False, rngs=rngs,
+                        ),
+                        d_model, n_heads, mix=False, rngs=rngs,
+                    ),
+                    d_model, d_ff, dropout=dropout, activation=activation,
+                    rngs=rngs,
+                )
+                for _ in range(layers)
+            ],
+            norm_layer=nnx.LayerNorm(d_model, rngs=rngs),
+        )
+        self.projection = nnx.Linear(d_model, out_channels, rngs=rngs)
+
+    def __call__(self, x_enc: jnp.ndarray, x_dec: jnp.ndarray) -> jnp.ndarray:
+        """x_enc: cross/value sequence; x_dec: query sequence."""
+        dec_out = self.value_embedding(x_dec) + self.position_embedding(x_dec)
+        dec_out = self.decoder(dec_out, x_enc, x_mask=None, cross_mask=None)
+        dec_out = self.projection(dec_out)
+        return dec_out[:, -self.pred_len :, :]

@@ -1,0 +1,69 @@
+"""Video backbone configs and abstract interface.
+
+Capability parity with reference
+``routeformer/models/video_backbone/config.py:11-56``: the base config
+carries embedding-cache and minibatching knobs; ``TimmBackboneConfig`` adds
+model selection + pad-to-square; ``InverseFormBackboneConfig`` the
+checkpoint path. The torchcache knobs map onto this build's content-hash
+embedding cache (``video_backbone/cache.py``).
+
+The abstract module contract (≙ ``VideoBackboneModule``): a backbone maps a
+flattened frame batch ``(N, H, W, C)`` (channel-last, TPU-native) to a
+feature map ``(N, H', W', C')`` and exposes ``output_feature_shape``
+``(H', W', C')``.
+"""
+
+from abc import abstractmethod
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+from flax import nnx
+
+from routeformer_tpu.utils.config import BaseConfig
+
+
+@dataclass
+class VideoBackboneConfig(BaseConfig):
+    """Config for video backbones (reference video_backbone/config.py:11-27)."""
+
+    cache_dir: Optional[str] = None
+    train_backbone: bool = False
+    backbone_minibatch_size: int = 4
+    # Embedding-cache knobs (torchcache equivalents).
+    cache_enabled: bool = True
+    cache_module_hash: Optional[str] = None
+    max_persistent_cache_size: float = 200e9
+    max_memory_cache_size: float = 20e9
+    cache_dtype: str = "bfloat16"
+
+    def __post_init__(self):
+        if self.cache_enabled and self.train_backbone:
+            raise ValueError("cache_enabled and train_backbone cannot both be True.")
+
+
+@dataclass
+class TimmBackboneConfig(VideoBackboneConfig):
+    """Config for pretrained-encoder backbones (reference config.py:30-36)."""
+
+    pad_to_square: bool = True
+    model_type: Optional[str] = None
+    # Path to a converted checkpoint (torch state_dict -> flax), optional.
+    checkpoint_path: Optional[str] = None
+
+
+@dataclass
+class InverseFormBackboneConfig(VideoBackboneConfig):
+    """Config for the HRNet segmentation-trunk backbone (reference config.py:39-44)."""
+
+    download_model: bool = False
+    model_path: Optional[str] = None
+
+
+class VideoBackboneModule(nnx.Module):
+    """Abstract video backbone (reference config.py:47-56)."""
+
+    @property
+    @abstractmethod
+    def output_feature_shape(self) -> Tuple[int, int, int]:
+        """Shape (H', W', C') of the output feature map."""
+        ...

@@ -1,0 +1,178 @@
+"""Vision-transformer video backbones (Flax NNX).
+
+Plays the role of the reference's timm-encoder family
+(``routeformer/models/video_backbone/TimmBackbone.py:13-184`` and the
+SwinV2/DinoV2/Sam wrappers in ``video_backbone/__init__.py:14-31``):
+a frozen (by default) pretrained-style image encoder producing a 2-D feature
+map per frame, with the same input conditioning — pad-to-square, resize to
+the model's native resolution, mean/std normalization.
+
+Differences by design (TPU-first):
+
+- One ViT implementation with per-preset geometry covers the DinoV2/SAM-ViT
+  class of encoders; weights can be imported from torch checkpoints via
+  ``video_backbone/convert.py`` (no network access is assumed — random init
+  otherwise).
+- No minibatch loop: XLA pipelines the whole flattened frame batch (use
+  remat/sharding for memory instead of Python-level chunking).
+- The reference's epoch-10 unfreeze (TimmBackbone.py:123) is an explicit
+  ``unfreeze`` attribute toggled by the trainer; when False the feature
+  output is wrapped in ``stop_gradient`` (frozen semantics under one
+  compiled program).
+- Attention runs on the fused Pallas kernel on TPU.
+"""
+
+import math
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from routeformer_tpu.models.video_backbone.config import (
+    TimmBackboneConfig,
+    VideoBackboneModule,
+)
+from routeformer_tpu.ops.attention import dot_product_attention
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+@dataclass(frozen=True)
+class ViTPreset:
+    img_size: int
+    patch_size: int
+    width: int
+    depth: int
+    heads: int
+    mean: Tuple[float, float, float] = IMAGENET_MEAN
+    std: Tuple[float, float, float] = IMAGENET_STD
+
+
+# Geometry mirrors the reference's three timm choices
+# (full_comparison.py:231-256): SwinV2-base @256, DinoV2 ViT-B/14 @518 (we
+# use 224 for tractable probe cost; the patch grid stays square), SAM ViT-B/16.
+PRESETS = {
+    "swinv2_base": ViTPreset(img_size=256, patch_size=16, width=768, depth=12, heads=12),
+    "dinov2_base": ViTPreset(img_size=224, patch_size=14, width=768, depth=12, heads=12),
+    "samvit_base": ViTPreset(img_size=224, patch_size=16, width=768, depth=12, heads=12),
+    # small preset for tests/debug
+    "vit_tiny_test": ViTPreset(img_size=64, patch_size=16, width=32, depth=2, heads=4),
+}
+
+
+class ViTBlock(nnx.Module):
+    def __init__(self, width: int, heads: int, *, rngs: nnx.Rngs):
+        self.norm1 = nnx.LayerNorm(width, rngs=rngs)
+        self.norm2 = nnx.LayerNorm(width, rngs=rngs)
+        self.qkv = nnx.Linear(width, 3 * width, rngs=rngs)
+        self.proj = nnx.Linear(width, width, rngs=rngs)
+        self.fc1 = nnx.Linear(width, 4 * width, rngs=rngs)
+        self.fc2 = nnx.Linear(4 * width, width, rngs=rngs)
+        self.heads = heads
+        self.width = width
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, n, c = x.shape
+        h = self.heads
+        y = self.norm1(x)
+        qkv = self.qkv(y).reshape(b, n, 3, h, c // h)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        attn, _ = dot_product_attention(q, k, v)
+        x = x + self.proj(attn.reshape(b, n, c))
+        x = x + self.fc2(jax.nn.gelu(self.fc1(self.norm2(x))))
+        return x
+
+
+class TimmBackbone(VideoBackboneModule):
+    """ViT image encoder with the reference's input conditioning."""
+
+    def __init__(self, configs: Optional[TimmBackboneConfig] = None, *, rngs: nnx.Rngs):
+        configs = configs or TimmBackboneConfig()
+        self.configs = configs
+        preset_name = configs.model_type or "vit_tiny_test"
+        if preset_name not in PRESETS:
+            # map timm-style names onto presets (reference model strings)
+            lowered = preset_name.lower()
+            if "swin" in lowered:
+                preset_name = "swinv2_base"
+            elif "dino" in lowered:
+                preset_name = "dinov2_base"
+            elif "sam" in lowered:
+                preset_name = "samvit_base"
+            else:
+                raise ValueError(f"Unknown video backbone model_type {preset_name!r}")
+        self.preset = PRESETS[preset_name]
+        self.train_backbone = configs.train_backbone
+        # Reference quirk: forward re-enables backbone grads after epoch 10
+        # (TimmBackbone.py:123); the trainer toggles this attribute.
+        self.unfreeze = False
+
+        p = self.preset
+        grid = p.img_size // p.patch_size
+        self.grid = grid
+        self.patch_embed = nnx.Conv(
+            3, p.width, kernel_size=(p.patch_size, p.patch_size),
+            strides=(p.patch_size, p.patch_size), padding="VALID", rngs=rngs,
+        )
+        self.pos_embed = nnx.Param(
+            nnx.initializers.normal(0.02)(rngs.params(), (1, grid * grid, p.width))
+        )
+        self.blocks = nnx.List(
+            [ViTBlock(p.width, p.heads, rngs=rngs) for _ in range(p.depth)]
+        )
+        self.norm = nnx.LayerNorm(p.width, rngs=rngs)
+        self._output_feature_shape = (grid, grid, p.width)
+
+    @property
+    def output_feature_shape(self) -> Tuple[int, int, int]:
+        """(H', W', C') of the feature map."""
+        return self._output_feature_shape
+
+    def preprocess(self, images: jnp.ndarray) -> jnp.ndarray:
+        """Pad to square, resize to native resolution, normalize.
+
+        images: (N, H, W, C) float in [0, 1].
+        """
+        n, h, w, c = images.shape
+        if self.configs.pad_to_square and h != w:
+            side = max(h, w)
+            images = jnp.pad(
+                images, ((0, 0), (0, side - h), (0, side - w), (0, 0))
+            )
+        size = self.preset.img_size
+        if images.shape[1] != size or images.shape[2] != size:
+            images = jax.image.resize(
+                images, (n, size, size, c), method="bilinear"
+            )
+        mean = jnp.asarray(self.preset.mean, dtype=images.dtype)
+        std = jnp.asarray(self.preset.std, dtype=images.dtype)
+        return (images - mean) / std
+
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        """(N, H, W, C) frames -> (N, H', W', C') features."""
+        x = self.preprocess(images)
+        x = self.patch_embed(x)  # (N, grid, grid, width)
+        n, gh, gw, c = x.shape
+        x = x.reshape(n, gh * gw, c) + self.pos_embed[...]
+        for block in self.blocks:
+            x = block(x)
+        x = self.norm(x)
+        x = x.reshape(n, gh, gw, c)
+        if not (self.train_backbone or self.unfreeze):
+            x = jax.lax.stop_gradient(x)
+        return x
+
+
+class SwinV2(TimmBackbone):
+    """Cache-separated SwinV2-class encoder (reference video_backbone/__init__.py:14-18)."""
+
+
+class DinoV2(TimmBackbone):
+    """Cache-separated DinoV2-class encoder (reference video_backbone/__init__.py:21-25)."""
+
+
+class Sam(TimmBackbone):
+    """Cache-separated SAM-ViT-class encoder (reference video_backbone/__init__.py:28-31)."""

@@ -34,8 +34,9 @@ _NEG_INF = -1e30
 def _use_flash(q, dropout_rate, deterministic, need_weights) -> bool:
     if need_weights or (dropout_rate > 0.0 and not deterministic):
         return False
-    platform = q.devices().pop().platform if hasattr(q, "devices") else "cpu"
-    return platform == "tpu"
+    # Trace-safe: the default backend is a Python-level global, valid both
+    # inside and outside jit (arrays can't be inspected while tracing).
+    return jax.default_backend() == "tpu"
 
 
 def dot_product_attention(

@@ -1,0 +1,232 @@
+"""Multi-model lockstep trainer.
+
+Capability parity with the reference ``ParallelTrainer``
+(``experiments/full_comparison.py:152-711``): a dict of candidate models is
+trained *simultaneously on identical batches with one optimizer* — same
+data, same shuffle, one summed loss — and evaluated with the 5-forward
+Monte-Carlo protocol under a fixed seed, with PCI-bucketed reporting.
+
+TPU-native design:
+
+- the combined train step (all models' forwards + one summed backward +
+  AdamW) is ONE jitted program; models named ``*baseline*`` are excluded
+  from the loss, as in the reference (full_comparison.py:477);
+- epoch is a traced scalar (discount schedule, dense-loss activation, LR
+  schedule) — no recompiles across the 200-epoch run;
+- eval MC-averaging reproduces the reference's ``torch.manual_seed(12345)``
+  + 5 stochastic forwards (full_comparison.py:654-679): in eval the only
+  stochastic component is ProbSparse key sampling, so eval re-enables it
+  with a reseeded stream and averages 5 forwards inside one jit;
+- DDP is replaced by the (data, model) mesh of ``routeformer_tpu.parallel``.
+"""
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import nnx
+
+from routeformer_tpu.models.layers.attention import ProbAttention
+from routeformer_tpu.score.error import ade_per_sample, fde_per_sample
+from routeformer_tpu.train.losses import TrainingLosses, routeformer_training_loss
+from routeformer_tpu.train.metrics import GEM_QUARTILES, bucketed_eval_metrics
+from routeformer_tpu.utils.logging import get_logger
+
+logger = get_logger("trainer")
+
+EVAL_SEED = 12345  # reference full_comparison.py:655
+MC_SAMPLES = 5
+
+
+def set_mc_sampling(model: nnx.Module, enabled: bool) -> None:
+    """Toggle ProbSparse sampling stochasticity for eval MC-averaging."""
+    for _, module in nnx.iter_modules(model):
+        if isinstance(module, ProbAttention):
+            module.deterministic = not enabled
+
+
+class ParallelTrainer:
+    """Train all candidate models in lockstep with one optimizer."""
+
+    def __init__(
+        self,
+        models: Dict[str, nnx.Module],
+        tx: optax.GradientTransformation,
+        config,
+        quartiles: Optional[Dict[str, float]] = None,
+        loss_fn: Optional[Callable] = None,
+    ):
+        self.model_names = list(models.keys())
+        self.config = config
+        self.quartiles = quartiles or GEM_QUARTILES
+        self.losses = TrainingLosses.from_config(config)
+        self.tx = tx
+        self._loss_fn = loss_fn or self._default_loss_fn
+
+        self.graphdefs = {}
+        self.params = {}
+        self.states = {}
+        for name, model in models.items():
+            model.train()
+            gd, p, s = nnx.split(model, nnx.Param, ...)
+            self.graphdefs[name] = gd
+            self.params[name] = p
+            self.states[name] = s
+
+        self.opt_state = tx.init(self.params)
+        self._train_step = None
+        self._eval_steps = {}
+        self.epoch = 0
+
+    # ------------------------------------------------------------------ #
+
+    def _default_loss_fn(self, name, model, inp, tgt, epoch):
+        # GIMO/MultiModal models use their own loss objects in the reference
+        # (full_comparison.py:480-489) but those are configured identically
+        # to the trajectory loss; the dispatch is kept for parity.
+        return routeformer_training_loss(model, inp, tgt, epoch, self.losses)
+
+    def _build_train_step(self):
+        graphdefs = self.graphdefs
+        names = self.model_names
+        tx = self.tx
+        loss_fn = self._loss_fn
+
+        def step(params, states, opt_state, inp, tgt, epoch):
+            models = {
+                n: nnx.merge(graphdefs[n], params[n], states[n]) for n in names
+            }
+
+            def total_loss_fn(models):
+                total = 0.0
+                metrics = {}
+                for n, m in models.items():
+                    if "baseline" in n:
+                        continue
+                    loss, m_metrics = loss_fn(n, m, inp, tgt, epoch)
+                    total = total + loss
+                    for k, v in m_metrics.items():
+                        metrics[f"train_{k}_{n}"] = v
+                return total, metrics
+
+            # nnx.value_and_grad over the dict-of-modules pytree.
+            (total, metrics), grads = nnx.value_and_grad(
+                total_loss_fn, has_aux=True
+            )(models)
+            new_params, new_states = {}, {}
+            for n in names:
+                _, p, s = nnx.split(models[n], nnx.Param, ...)
+                new_params[n] = p
+                new_states[n] = s
+            # Baseline models have no loss -> no grads; zero-fill for optax.
+            grads = dict(grads)
+            for n in names:
+                if n not in grads or grads[n] is None:
+                    grads[n] = jax.tree.map(jnp.zeros_like, new_params[n])
+            updates, new_opt = tx.update(grads, opt_state, new_params)
+            final_params = optax.apply_updates(new_params, updates)
+            metrics["train_total_loss"] = total
+            return final_params, new_states, new_opt, metrics
+
+        return jax.jit(step, donate_argnums=(0, 1, 2))
+
+    def training_step(self, batch: dict) -> Dict[str, float]:
+        """One lockstep update on one batch (reference full_comparison.py:470-531)."""
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        inp = jax.tree.map(jnp.asarray, batch["train"])
+        tgt = jax.tree.map(jnp.asarray, batch["target"])
+        self.params, self.states, self.opt_state, metrics = self._train_step(
+            self.params, self.states, self.opt_state, inp, tgt,
+            jnp.asarray(self.epoch),
+        )
+        return metrics
+
+    # ------------------------------------------------------------------ #
+
+    def eval_step(self, batch: dict, split: str = "val") -> Dict[str, jnp.ndarray]:
+        """MC-averaged eval of every model + PCI-bucketed metrics
+        (reference full_comparison.py:553-679)."""
+        inp = jax.tree.map(jnp.asarray, batch["train"])
+        target_gps = jnp.asarray(batch["target"]["gps"]).astype(jnp.float32)
+        pcis = jnp.asarray(batch["pci"])
+        epoch = jnp.asarray(self.epoch)
+
+        metrics = {}
+        for name in self.model_names:
+            if name not in self._eval_steps:
+                # Switch the model into eval-with-MC-sampling mode and
+                # reseed its sampling stream (the torch.manual_seed(12345)
+                # equivalent) — rebuild graphdef/state to capture the mode.
+                model = nnx.merge(
+                    self.graphdefs[name], self.params[name], self.states[name]
+                )
+                model.eval()
+                set_mc_sampling(model, True)
+                gd, p, s = nnx.split(model, nnx.Param, ...)
+                self._eval_steps[name] = (gd, self._build_eval_step_from(gd))
+            gd, step_fn = self._eval_steps[name]
+
+            # Reseed dropout/sampling stream for reproducible MC eval.
+            model = nnx.merge(gd, self.params[name], self.states[name])
+            nnx.reseed(model, dropout=EVAL_SEED)
+            _, p, s = nnx.split(model, nnx.Param, ...)
+
+            losses, ades, fdes = step_fn(p, s, inp, target_gps, epoch)
+            prefix = f"{split}_{name}"
+            metrics.update(
+                bucketed_eval_metrics(prefix, pcis, losses, ades, fdes, self.quartiles)
+            )
+        return metrics
+
+    def _build_eval_step_from(self, graphdef):
+        losses = self.losses
+
+        def eval_step(params, state, inp, target_gps, epoch):
+            model = nnx.merge(graphdef, params, state)
+            preds = []
+            for _ in range(MC_SAMPLES):
+                out = model(inp)
+                preds.append(out[0] if isinstance(out, tuple) else out)
+            future_gps = jnp.stack(preds).mean(axis=0)
+
+            per_sample_loss = jax.vmap(
+                lambda p, t: losses.trajectory_loss(p[None], t[None], epoch)
+            )(future_gps, target_gps)
+            ades = ade_per_sample(future_gps, target_gps)
+            fdes = fde_per_sample(future_gps, target_gps)
+            return per_sample_loss, ades, fdes
+
+        return jax.jit(eval_step)
+
+    # ------------------------------------------------------------------ #
+
+    def fit(
+        self,
+        train_batches,
+        val_batches=None,
+        epochs: int = 1,
+        log_every: int = 10,
+        on_metrics: Optional[Callable] = None,
+    ):
+        """Simple epoch loop over batch iterables (the Lightning Trainer role)."""
+        history = []
+        for epoch in range(self.epoch, self.epoch + epochs):
+            self.epoch = epoch
+            for i, batch in enumerate(train_batches):
+                metrics = self.training_step(batch)
+                if i % log_every == 0:
+                    loss = float(metrics["train_total_loss"])
+                    logger.info("epoch %d step %d loss %.4f", epoch, i, loss)
+                    if on_metrics:
+                        on_metrics("train", epoch, i, metrics)
+            if val_batches is not None:
+                val_metrics = {}
+                for batch in val_batches:
+                    val_metrics = self.eval_step(batch, "val")
+                history.append(val_metrics)
+                if on_metrics:
+                    on_metrics("val", epoch, 0, val_metrics)
+        return history

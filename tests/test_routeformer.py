@@ -1,0 +1,202 @@
+"""Tests for PerceiveEncoder/Decoder and the full Routeformer model."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from flax import nnx
+
+from routeformer_tpu.models import PerceiveDecoder, PerceiveEncoder, RouteformerConfig
+from routeformer_tpu.models.gps_backbone import GPSBackboneConfig, Informer
+from routeformer_tpu.models.routeformer import Routeformer
+from routeformer_tpu.models.video_backbone import SwinV2, TimmBackboneConfig
+
+SEQ_LEN, PRED_LEN = 40, 30
+
+
+def gps_config(**kwargs):
+    defaults = dict(
+        seq_len=SEQ_LEN, label_len=SEQ_LEN, pred_len=PRED_LEN,
+        d_model=32, n_heads=4, e_layers=2, d_layers=1, d_ff=64,
+        factor=4, dropout=0.0, activation="relu", distil=True,
+    )
+    defaults.update(kwargs)
+    return GPSBackboneConfig(**defaults)
+
+
+def video_config():
+    return TimmBackboneConfig(model_type="vit_tiny_test", cache_enabled=False)
+
+
+def full_config(**kwargs):
+    defaults = dict(
+        gps_backbone_config=gps_config(),
+        decoder_mode="smart",
+        encoder_hidden_size=16,
+        encoder_heads=4,
+        encoder_layers=2,
+        encoder_d_ff=32,
+        cross_modal_decoder_heads=4,
+        cross_modal_decoder_layers=1,
+        image_embedding_size=16,
+        output_fps=5,
+        video_fps=1,
+        gaze_fps=1,
+    )
+    defaults.update(kwargs)
+    return RouteformerConfig(**defaults)
+
+
+def make_batch(rng, with_video=False, with_gaze=False, B=2):
+    batch = {"gps": jnp.asarray(rng.normal(size=(B, SEQ_LEN, 2)).astype(np.float32))}
+    if with_video:
+        vid = lambda: jnp.asarray(
+            rng.uniform(size=(B, SEQ_LEN, 24, 32, 3)).astype(np.float32)
+        )
+        batch["left_video"] = vid()
+        batch["right_video"] = vid()
+    if with_gaze:
+        batch["front_video"] = jnp.asarray(
+            rng.uniform(size=(B, SEQ_LEN, 24, 32, 3)).astype(np.float32)
+        )
+        batch["gaze"] = jnp.asarray(
+            rng.normal(size=(B, 200, 2)).astype(np.float32)
+        )
+    return batch
+
+
+class TestPerceiver:
+    def test_encoder_truncates_to_out_len(self, rng):
+        enc = PerceiveEncoder(
+            in_channels=8, out_channels=4, out_len=5, d_model=16, n_heads=4,
+            layers=2, d_ff=32, dropout=0.0, rngs=nnx.Rngs(0, dropout=1),
+        )
+        enc.eval()
+        x = jnp.asarray(rng.normal(size=(2, 20, 8)).astype(np.float32))
+        out = enc(x)
+        assert out.shape == (2, 5, 4)
+
+    def test_decoder_shapes(self, rng):
+        dec = PerceiveDecoder(
+            query_channels=6, value_channels=16, out_channels=4, out_len=10,
+            n_heads=4, layers=1, d_ff=32, dropout=0.0,
+            rngs=nnx.Rngs(0, dropout=1),
+        )
+        dec.eval()
+        queries = jnp.asarray(rng.normal(size=(2, 12, 6)).astype(np.float32))
+        values = jnp.asarray(rng.normal(size=(2, 20, 16)).astype(np.float32))
+        out = dec(values, queries)
+        assert out.shape == (2, 10, 4)
+
+
+class TestRouteformerGPSOnly:
+    def test_forward_shape(self, rng):
+        model = Routeformer(full_config(), rngs=nnx.Rngs(0, dropout=1))
+        model.eval()
+        out = model(make_batch(rng))
+        assert out.shape == (2, PRED_LEN, 2)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_cumsum_integration(self, rng):
+        """Predictions start from the last input fix: pred[0] = last + v[0]."""
+        model = Routeformer(full_config(), rngs=nnx.Rngs(0, dropout=1))
+        model.eval()
+        batch = make_batch(rng)
+        motion, visual = model.preprocess_batch(batch)
+        output, _ = model._forward(motion, visual)
+        _, gps_pred, _ = model.postprocess_batch(batch["gps"][:, -1:, :], output)
+        manual = np.asarray(batch["gps"][:, -1:, :]) + np.cumsum(
+            np.asarray(output[:, :, :2]), axis=1
+        )
+        np.testing.assert_allclose(np.asarray(gps_pred), manual, atol=1e-5)
+
+    def test_rotate_motion_roundtrip(self, rng):
+        cfg = full_config(rotate_motion=True)
+        model = Routeformer(cfg, rngs=nnx.Rngs(0, dropout=1))
+        model.eval()
+        out = model(make_batch(rng))
+        assert out.shape == (2, PRED_LEN, 2)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_autoregressive_matches_shape(self, rng):
+        cfg = full_config(autoregressive=True, autoregressive_step_size=10)
+        model = Routeformer(cfg, rngs=nnx.Rngs(0, dropout=1))
+        model.eval()
+        out = model(make_batch(rng))
+        assert out.shape == (2, PRED_LEN, 2)
+        assert np.isfinite(np.asarray(out)).all()
+        # pred_len restored after AR decode
+        assert model.gps_backbone.pred_len == PRED_LEN
+
+    def test_jit_forward(self, rng):
+        model = Routeformer(full_config(), rngs=nnx.Rngs(0, dropout=1))
+        model.eval()
+        batch = make_batch(rng)
+
+        @nnx.jit
+        def fwd(model, batch):
+            return model(batch)
+
+        out = fwd(model, batch)
+        assert out.shape == (2, PRED_LEN, 2)
+
+
+class TestRouteformerFull:
+    def test_video_forward(self, rng):
+        cfg = full_config(
+            video_backbone_config=video_config(), with_video=True,
+        )
+        model = Routeformer(cfg, video_backbone=SwinV2, rngs=nnx.Rngs(0, dropout=1))
+        model.eval()
+        out = model(make_batch(rng, with_video=True))
+        assert out.shape == (2, PRED_LEN, 2)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_video_gaze_dense_forward(self, rng):
+        cfg = full_config(
+            video_backbone_config=video_config(), with_video=True,
+            with_gaze=True, dense_prediction=True,
+        )
+        model = Routeformer(cfg, video_backbone=SwinV2, rngs=nnx.Rngs(0, dropout=1))
+        model.eval()
+        gps_pred, feat_pred = model(make_batch(rng, with_video=True, with_gaze=True))
+        assert gps_pred.shape == (2, PRED_LEN, 2)
+        assert feat_pred.shape == (2, PRED_LEN, cfg.image_embedding_size)
+
+    def test_view_dropout_train_changes_output(self, rng):
+        cfg = full_config(
+            video_backbone_config=video_config(), with_video=True,
+            view_dropout=0.9,
+        )
+        model = Routeformer(cfg, video_backbone=SwinV2, rngs=nnx.Rngs(0, dropout=1))
+        model.train()
+        batch = make_batch(rng, with_video=True)
+        a = np.asarray(model(batch))
+        b = np.asarray(model(batch))
+        assert not np.array_equal(a, b)
+
+    def test_missing_right_video_falls_back_to_left(self, rng):
+        cfg = full_config(video_backbone_config=video_config(), with_video=True)
+        model = Routeformer(cfg, video_backbone=SwinV2, rngs=nnx.Rngs(0, dropout=1))
+        model.eval()
+        batch = make_batch(rng, with_video=True)
+        del batch["right_video"]
+        out = model(batch)
+        assert out.shape == (2, PRED_LEN, 2)
+
+    def test_gradients_flow_but_not_into_frozen_backbone(self, rng):
+        cfg = full_config(video_backbone_config=video_config(), with_video=True)
+        model = Routeformer(cfg, video_backbone=SwinV2, rngs=nnx.Rngs(0, dropout=1))
+        model.eval()
+        batch = make_batch(rng, with_video=True)
+
+        def loss_fn(model):
+            return (model(batch) ** 2).mean()
+
+        grads = nnx.grad(loss_fn)(model)
+        # backbone grads must be zero (frozen via stop_gradient)
+        backbone_leaves = jax.tree.leaves(grads.video_backbone)
+        assert all(float(jnp.abs(g).max()) == 0.0 for g in backbone_leaves)
+        # fusion encoder grads must be nonzero
+        fusion_leaves = jax.tree.leaves(grads.video_encoder)
+        assert any(float(jnp.abs(g).max()) > 0.0 for g in fusion_leaves)

@@ -1,0 +1,162 @@
+"""End-to-end training tests: loss decreases; mesh-sharded step runs on the
+virtual 8-device CPU mesh (DP + TP)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from flax import nnx
+
+from routeformer_tpu.io.synthetic import synthetic_batch
+from routeformer_tpu.models import RouteformerConfig
+from routeformer_tpu.models.gps_backbone import GPSBackboneConfig
+from routeformer_tpu.models.routeformer import Routeformer
+from routeformer_tpu.optimizers import build_optimizer
+from routeformer_tpu.parallel import make_mesh, make_train_step
+from routeformer_tpu.train import TrainingLosses, routeformer_training_loss
+
+SEQ_LEN, PRED_LEN = 40, 30
+
+
+def tiny_model(**overrides):
+    gps_cfg = GPSBackboneConfig(
+        seq_len=SEQ_LEN, label_len=SEQ_LEN, pred_len=PRED_LEN,
+        d_model=32, n_heads=4, e_layers=2, d_layers=1, d_ff=64,
+        factor=4, dropout=0.0, activation="relu", distil=True,
+    )
+    cfg = RouteformerConfig(
+        gps_backbone_config=gps_cfg,
+        decoder_mode="smart",
+        discount_factor={0: 0.97},
+        epsilon=None,
+        loss_function="smooth_l1",
+        **overrides,
+    )
+    return Routeformer(cfg, rngs=nnx.Rngs(0, dropout=1))
+
+
+def to_jax(batch):
+    return jax.tree.map(jnp.asarray, batch)
+
+
+def make_loss_fn(cfg):
+    losses = TrainingLosses.from_config(cfg)
+
+    def loss_fn(model, input_batch, target_batch, epoch):
+        return routeformer_training_loss(
+            model, input_batch, target_batch, epoch, losses
+        )
+
+    return loss_fn
+
+
+class TestSingleDeviceTraining:
+    def test_loss_decreases(self):
+        model = tiny_model()
+        tx = build_optimizer(
+            learning_rate=3e-3, video_backbone_lr=None,
+            warmup_epochs=0, max_epochs=100, gradient_clip_val=2.5,
+        )
+        step_fn, params, state, opt_state = make_train_step(
+            model, tx, make_loss_fn(model.configs)
+        )
+        data = to_jax(synthetic_batch(0, batch_size=8, seq_len=SEQ_LEN, pred_len=PRED_LEN))
+        first = None
+        for i in range(25):
+            params, state, opt_state, metrics = step_fn(
+                params, state, opt_state, data["train"], data["target"],
+                jnp.asarray(0),
+            )
+            if first is None:
+                first = float(metrics["total_loss"])
+        last = float(metrics["total_loss"])
+        assert np.isfinite(last)
+        assert last < first * 0.9, (first, last)
+
+    def test_epoch_scalar_no_recompile(self):
+        model = tiny_model()
+        tx = build_optimizer(
+            learning_rate=1e-4, video_backbone_lr=None,
+            warmup_epochs=0, max_epochs=10, gradient_clip_val=None,
+        )
+        step_fn, params, state, opt_state = make_train_step(
+            model, tx, make_loss_fn(model.configs)
+        )
+        data = to_jax(synthetic_batch(1, batch_size=4, seq_len=SEQ_LEN, pred_len=PRED_LEN))
+        for epoch in [0, 5, 50]:
+            params, state, opt_state, _ = step_fn(
+                params, state, opt_state, data["train"], data["target"],
+                jnp.asarray(epoch),
+            )
+        # one compiled signature across epochs
+        assert step_fn._cache_size() == 1
+
+
+class TestMeshTraining:
+    def test_dp_mesh_step(self):
+        assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+        mesh = make_mesh(n_data=8, n_model=1)
+        model = tiny_model()
+        tx = build_optimizer(
+            learning_rate=1e-3, video_backbone_lr=None,
+            warmup_epochs=0, max_epochs=100, gradient_clip_val=2.5,
+        )
+        step_fn, params, state, opt_state = make_train_step(
+            model, tx, make_loss_fn(model.configs), mesh=mesh
+        )
+        data = to_jax(synthetic_batch(2, batch_size=16, seq_len=SEQ_LEN, pred_len=PRED_LEN))
+        inp, tgt = step_fn.place_batches(data["train"], data["target"])
+        params, state, opt_state, metrics = step_fn(
+            params, state, opt_state, inp, tgt, jnp.asarray(0)
+        )
+        assert np.isfinite(float(metrics["total_loss"]))
+
+    def test_dp_tp_mesh_step(self):
+        mesh = make_mesh(n_data=4, n_model=2)
+        model = tiny_model()
+        tx = build_optimizer(
+            learning_rate=1e-3, video_backbone_lr=None,
+            warmup_epochs=0, max_epochs=100, gradient_clip_val=2.5,
+        )
+        # shard threshold low so the tiny model actually gets TP-sharded
+        step_fn, params, state, opt_state = make_train_step(
+            model, tx, make_loss_fn(model.configs), mesh=mesh, min_shard_dim=32
+        )
+        data = to_jax(synthetic_batch(3, batch_size=8, seq_len=SEQ_LEN, pred_len=PRED_LEN))
+        inp, tgt = step_fn.place_batches(data["train"], data["target"])
+        params, state, opt_state, metrics = step_fn(
+            params, state, opt_state, inp, tgt, jnp.asarray(0)
+        )
+        assert np.isfinite(float(metrics["total_loss"]))
+        # verify at least one param is actually sharded over the model axis
+        sharded = [
+            p for p in jax.tree.leaves(params)
+            if any(s == "model" for spec in [p.sharding.spec] for s in spec if s)
+        ]
+        assert sharded, "expected at least one tensor-parallel-sharded param"
+
+    def test_dp_matches_single_device(self):
+        """One DP step over 8 devices == one single-device step (same math)."""
+        data = to_jax(synthetic_batch(4, batch_size=8, seq_len=SEQ_LEN, pred_len=PRED_LEN))
+
+        def run(mesh):
+            model = tiny_model()
+            tx = build_optimizer(
+                learning_rate=1e-3, video_backbone_lr=None,
+                warmup_epochs=0, max_epochs=100, gradient_clip_val=2.5,
+            )
+            step_fn, params, state, opt_state = make_train_step(
+                model, tx, make_loss_fn(model.configs), mesh=mesh
+            )
+            if mesh is not None:
+                inp, tgt = step_fn.place_batches(data["train"], data["target"])
+            else:
+                inp, tgt = data["train"], data["target"]
+            _, _, _, metrics = step_fn(
+                params, state, opt_state, inp, tgt, jnp.asarray(0)
+            )
+            return float(metrics["total_loss"])
+
+        single = run(None)
+        dp = run(make_mesh(n_data=8, n_model=1))
+        np.testing.assert_allclose(dp, single, rtol=1e-4)

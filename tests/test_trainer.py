@@ -1,0 +1,119 @@
+"""Tests for the multi-model lockstep trainer (ParallelTrainer equivalent)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from flax import nnx
+
+from routeformer_tpu.io.synthetic import synthetic_batch
+from routeformer_tpu.models import RouteformerConfig
+from routeformer_tpu.models.gps_backbone import (
+    GPSBackboneConfig,
+    Informer,
+    LinearBaseline,
+    StationaryBaseline,
+    Transformer,
+)
+from routeformer_tpu.models.routeformer import Routeformer
+from routeformer_tpu.optimizers import build_optimizer
+from routeformer_tpu.train.trainer import ParallelTrainer
+
+SEQ_LEN, PRED_LEN = 40, 30
+
+
+def make_models_and_config():
+    gps_cfg = GPSBackboneConfig(
+        seq_len=SEQ_LEN, label_len=SEQ_LEN, pred_len=PRED_LEN,
+        d_model=32, n_heads=4, e_layers=1, d_layers=1, d_ff=64,
+        factor=4, dropout=0.0, activation="relu", distil=True,
+    )
+    cfg = RouteformerConfig(
+        gps_backbone_config=gps_cfg,
+        decoder_mode="smart",
+        discount_factor={0: 0.97},
+        epsilon=1.0,
+    )
+    models = {
+        "Routeformer_without_video_informer": Routeformer(
+            cfg, gps_backbone=Informer, rngs=nnx.Rngs(0, dropout=1)
+        ),
+        "Routeformer_without_video_transformer": Routeformer(
+            cfg, gps_backbone=Transformer, rngs=nnx.Rngs(2, dropout=3)
+        ),
+        "stationary_baseline": Routeformer(
+            cfg, gps_backbone=StationaryBaseline, rngs=nnx.Rngs(4, dropout=5)
+        ),
+        "linear_baseline": Routeformer(
+            cfg, gps_backbone=LinearBaseline, rngs=nnx.Rngs(6, dropout=7)
+        ),
+    }
+    return models, cfg
+
+
+@pytest.fixture(scope="module")
+def trainer():
+    models, cfg = make_models_and_config()
+    tx = build_optimizer(
+        learning_rate=1e-3, video_backbone_lr=None,
+        warmup_epochs=0, max_epochs=100, gradient_clip_val=2.5,
+    )
+    return ParallelTrainer(models, tx, cfg)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    return synthetic_batch(0, batch_size=6, seq_len=SEQ_LEN, pred_len=PRED_LEN)
+
+
+class TestParallelTrainer:
+    def test_training_step_metrics(self, trainer, batch):
+        metrics = trainer.training_step(batch)
+        assert np.isfinite(float(metrics["train_total_loss"]))
+        # both trainable models report, baselines do not
+        assert "train_loss_Routeformer_without_video_informer" in metrics
+        assert "train_ade_Routeformer_without_video_transformer" in metrics
+        assert not any("stationary" in k for k in metrics)
+
+    def test_lockstep_loss_decreases(self, trainer, batch):
+        first = float(trainer.training_step(batch)["train_total_loss"])
+        for _ in range(15):
+            metrics = trainer.training_step(batch)
+        last = float(metrics["train_total_loss"])
+        assert last < first
+
+    def test_baseline_params_untouched(self, trainer, batch):
+        before = jax.tree.leaves(trainer.params["stationary_baseline"])
+        trainer.training_step(batch)
+        after = jax.tree.leaves(trainer.params["stationary_baseline"])
+        for b, a in zip(before, after):
+            np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+    def test_eval_step_buckets(self, trainer, batch):
+        metrics = trainer.eval_step(batch, "val")
+        assert "val_Routeformer_without_video_informer_ade" in metrics
+        assert "val_stationary_baseline_ade" in metrics
+        assert "val_linear_baseline_fde_avg%" in metrics
+        assert "val_Routeformer_without_video_informer_loss_<25%" in metrics
+        assert "val_Routeformer_without_video_informer_ade_avgi" in metrics
+        for v in metrics.values():
+            assert np.isfinite(float(v))
+
+    def test_eval_reproducible(self, trainer, batch):
+        """MC eval under the fixed seed must be deterministic across calls."""
+        m1 = trainer.eval_step(batch, "val")
+        m2 = trainer.eval_step(batch, "val")
+        for k in m1:
+            np.testing.assert_allclose(
+                float(m1[k]), float(m2[k]), rtol=1e-6, err_msg=k
+            )
+
+    def test_baseline_eval_sanity(self, trainer, batch):
+        """Stationary baseline ADE = mean distance from last fix to target."""
+        metrics = trainer.eval_step(batch, "val")
+        last = batch["train"]["gps"][:, -1:, :]
+        target = batch["target"]["gps"]
+        expected = np.linalg.norm(target - last, axis=-1).mean()
+        np.testing.assert_allclose(
+            float(metrics["val_stationary_baseline_ade"]), expected, rtol=1e-4
+        )
