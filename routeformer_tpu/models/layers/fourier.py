@@ -1,0 +1,124 @@
+"""Fourier frequency-domain blocks for FEDformer (Flax NNX).
+
+Capability parity with reference
+``routeformer/models/gps_backbone/layers/FourierCorrelation.py``:
+``get_frequency_modes`` (:7), ``FourierBlock`` (:25),
+``FourierCrossAttention`` (:70).
+
+TPU notes: the reference fills per-mode outputs in a Python loop over
+indices; here the selected modes are a static gather and a single complex
+einsum, scattered back with one ``.at[].set`` — no per-mode loop in the
+compiled program. Complex weights are stored as real/imag float params.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+
+def get_frequency_modes(seq_len: int, modes: int = 64, mode_select_method: str = "random"):
+    """Select rFFT mode indices (reference FourierCorrelation.py:7-21)."""
+    modes = min(modes, seq_len // 2)
+    if mode_select_method == "random":
+        index = list(range(0, seq_len // 2))
+        np.random.shuffle(index)
+        index = index[:modes]
+    else:
+        index = list(range(0, modes))
+    index.sort()
+    return index
+
+
+def _complex_weight(rngs, shape, scale):
+    k1, k2 = jax.random.split(rngs.params())
+    return (
+        nnx.Param(scale * jax.random.uniform(k1, shape)),
+        nnx.Param(scale * jax.random.uniform(k2, shape)),
+    )
+
+
+class FourierBlock(nnx.Module):
+    """Frequency-domain neural operator on selected modes
+    (reference FourierCorrelation.py:25-67). Head count fixed at 8 as in the
+    reference weight shape."""
+
+    def __init__(
+        self, in_channels: int, out_channels: int, seq_len: int,
+        modes: int = 0, mode_select_method: str = "random", n_heads: int = 8,
+        *, rngs: nnx.Rngs,
+    ):
+        # The reference hardcodes 8 heads in the weight shape
+        # (FourierCorrelation.py:38-47) and breaks for any other head count;
+        # here the actual head count is threaded through.
+        self.index = get_frequency_modes(seq_len, modes, mode_select_method)
+        scale = 1.0 / (in_channels * out_channels)
+        self.w_real, self.w_imag = _complex_weight(
+            rngs,
+            (n_heads, in_channels // n_heads, out_channels // n_heads, len(self.index)),
+            scale,
+        )
+
+    def __call__(self, q, k, v, attn_mask=None):
+        b, l, h, e = q.shape
+        x = q.transpose(0, 2, 3, 1)  # (B, H, E, L)
+        x_ft = jnp.fft.rfft(x, axis=-1)
+        idx = jnp.asarray(self.index)
+        selected = x_ft[:, :, :, idx]  # (B, H, E, M)
+        w = (self.w_real[...] + 1j * self.w_imag[...]).astype(selected.dtype)
+        out_sel = jnp.einsum("bhim,hiom->bhom", selected, w)
+        out_ft = jnp.zeros((b, h, e, l // 2 + 1), dtype=selected.dtype)
+        out_ft = out_ft.at[:, :, :, idx].set(out_sel)
+        out = jnp.fft.irfft(out_ft, n=l, axis=-1)
+        return out, None  # (B, H, E, L) — consumed head-major by the wrapper
+
+
+class FourierCrossAttention(nnx.Module):
+    """Frequency-domain cross attention on selected modes
+    (reference FourierCorrelation.py:70-149)."""
+
+    def __init__(
+        self, in_channels: int, out_channels: int, seq_len_q: int,
+        seq_len_kv: int, modes: int = 64, mode_select_method: str = "random",
+        activation: str = "tanh", n_heads: int = 8, *, rngs: nnx.Rngs,
+    ):
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.activation = activation
+        self.index_q = get_frequency_modes(seq_len_q, modes, mode_select_method)
+        self.index_kv = get_frequency_modes(seq_len_kv, modes, mode_select_method)
+        scale = 1.0 / (in_channels * out_channels)
+        self.w_real, self.w_imag = _complex_weight(
+            rngs,
+            (n_heads, in_channels // n_heads, out_channels // n_heads, len(self.index_q)),
+            scale,
+        )
+
+    def __call__(self, q, k, v, attn_mask=None):
+        b, l, h, e = q.shape
+        xq = q.transpose(0, 2, 3, 1)  # (B, H, E, L)
+        xk = k.transpose(0, 2, 3, 1)
+
+        iq = jnp.asarray(self.index_q)
+        ikv = jnp.asarray(self.index_kv)
+        xq_ft = jnp.fft.rfft(xq, axis=-1)[:, :, :, iq]
+        xk_ft = jnp.fft.rfft(xk, axis=-1)[:, :, :, ikv]
+
+        xqk = jnp.einsum("bhex,bhey->bhxy", xq_ft, xk_ft)
+        if self.activation == "tanh":
+            xqk = jnp.tanh(xqk.real) + 1j * jnp.tanh(xqk.imag)
+        elif self.activation == "softmax":
+            xqk = jax.nn.softmax(jnp.abs(xqk), axis=-1).astype(jnp.complex64)
+        else:
+            raise ValueError(f"{self.activation} activation is not implemented")
+        xqkv = jnp.einsum("bhxy,bhey->bhex", xqk, xk_ft)
+        w = (self.w_real[...] + 1j * self.w_imag[...]).astype(xqkv.dtype)
+        xqkvw = jnp.einsum("bhex,heox->bhox", xqkv, w)
+        out_ft = jnp.zeros((b, h, e, l // 2 + 1), dtype=xqkvw.dtype)
+        out_ft = out_ft.at[:, :, :, iq].set(xqkvw)
+        out = jnp.fft.irfft(
+            out_ft / self.in_channels / self.out_channels, n=l, axis=-1
+        )
+        return out, None  # (B, H, E, L)
