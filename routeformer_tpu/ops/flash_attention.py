@@ -73,14 +73,54 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, causal, l_q, l_k, block_
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "scale"))
+def _reference_attention_bhle(q, k, v, causal, scale):
+    """Pure-XLA twin of the kernel, used only to derive the backward pass."""
+    s = jnp.einsum(
+        "ble,bse->bls", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * scale
+    if causal:
+        l_q, l_k = q.shape[1], k.shape[1]
+        row = jax.lax.broadcasted_iota(jnp.int32, (l_q, l_k), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (l_q, l_k), 1)
+        s = jnp.where((col > row)[None], _NEG_INF, s)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bls,bsd->bld", p, v.astype(jnp.float32)).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def flash_attention_bhle(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, causal: bool, scale: float
 ) -> jnp.ndarray:
     """Fused attention on ``(BH, L, E)`` tensors (already head-flattened).
 
-    Pads L and E to lane/sublane multiples, runs the Pallas kernel, unpads.
+    Forward runs the Pallas kernel (pads L and E to lane/sublane multiples,
+    unpads after); backward recomputes attention through the XLA twin —
+    pallas_call has no autodiff rule, and for these short sequences the
+    recompute backward is a handful of fused MXU matmuls.
     """
+    return _flash_forward(q, k, v, causal, scale)
+
+
+def _flash_vjp_fwd(q, k, v, causal, scale):
+    return _flash_forward(q, k, v, causal, scale), (q, k, v)
+
+
+def _flash_vjp_bwd(causal, scale, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _reference_attention_bhle(q_, k_, v_, causal, scale),
+        q, k, v,
+    )
+    return vjp(g)
+
+
+flash_attention_bhle.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "scale"))
+def _flash_forward(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, causal: bool, scale: float
+) -> jnp.ndarray:
     bh, l_q, e = q.shape
     _, l_k, e_v = v.shape
 

@@ -1,0 +1,13 @@
+"""Visualization utilities (reference ``routeformer/visualize/``)."""
+
+from routeformer_tpu.visualize.gaze import overlay_heatmap_on_frame
+from routeformer_tpu.visualize.plot import (
+    plot_gps_data_on_map,
+    render_figure_to_image,
+)
+
+__all__ = [
+    "plot_gps_data_on_map",
+    "render_figure_to_image",
+    "overlay_heatmap_on_frame",
+]

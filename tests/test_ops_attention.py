@@ -169,3 +169,24 @@ class TestAutoCorrelation:
         out, corr = autocorrelation_attention(q, k, v, factor=1)
         assert out.shape == (1, 24, 2, 4)
         assert corr.shape == (1, 24, 2, 4)
+
+
+class TestFlashVJP:
+    def test_flash_grads_match_jax_path(self, rng):
+        """custom_vjp backward of the flash path == jax path gradients."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        q = jnp.asarray(rng.normal(size=(2, 16, 2, 8)).astype(np.float32))
+
+        def loss_flash(q):
+            with pltpu.force_tpu_interpret_mode():
+                out, _ = dot_product_attention(q, q, q, causal=True, impl="flash")
+            return (out**2).mean()
+
+        def loss_jax(q):
+            out, _ = dot_product_attention(q, q, q, causal=True, impl="jax")
+            return (out**2).mean()
+
+        g_flash = jax.grad(loss_flash)(q)
+        g_jax = jax.grad(loss_jax)(q)
+        np.testing.assert_allclose(np.asarray(g_flash), np.asarray(g_jax), atol=2e-5)
