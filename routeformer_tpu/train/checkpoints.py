@@ -1,0 +1,139 @@
+"""Checkpoint/resume via orbax.
+
+Capability parity + extension over the reference's Lightning
+``ModelCheckpoint`` wiring (``experiments/full_comparison.py:795-821``):
+per-model checkpoints monitoring ``val_{model}_ade`` with ``save_top_k=1``
+and full state. The reference never passes ``ckpt_path`` to ``fit``
+(no resume); this implementation adds explicit ``restore`` wiring — the
+resume path the reference lacks (SURVEY §5).
+"""
+
+import json
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from routeformer_tpu.utils.logging import get_logger
+
+logger = get_logger("train.checkpoints")
+
+
+def _deep_update(dst: dict, src: dict):
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(dst.get(k), dict):
+            _deep_update(dst[k], v)
+        else:
+            dst[k] = v
+
+
+class CheckpointManager:
+    """Best-metric checkpointing for a ParallelTrainer's model dict."""
+
+    def __init__(
+        self,
+        directory,
+        monitor: str = "val_{name}_ade",
+        mode: str = "min",
+    ):
+        self.directory = Path(directory)
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.monitor = monitor
+        self.mode = mode
+        self._best: Dict[str, float] = {}
+        self._load_index()
+
+        import orbax.checkpoint as ocp
+
+        self._checkpointer = ocp.StandardCheckpointer()
+
+    def _index_path(self) -> Path:
+        return self.directory / "index.json"
+
+    def _load_index(self):
+        if self._index_path().exists():
+            self._best = json.loads(self._index_path().read_text())
+
+    def _save_index(self):
+        self._index_path().write_text(json.dumps(self._best, indent=2))
+
+    def _is_better(self, value: float, best: float) -> bool:
+        return value < best if self.mode == "min" else value > best
+
+    def maybe_save(self, trainer, val_metrics: Dict, epoch: int) -> Dict[str, bool]:
+        """Save each model whose monitored metric improved.
+
+        Returns {model_name: saved?}.
+        """
+        saved = {}
+        for name in trainer.model_names:
+            key = self.monitor.format(name=name)
+            if key not in val_metrics:
+                continue
+            value = float(val_metrics[key])
+            best = self._best.get(name, {}).get("value", np.inf if self.mode == "min" else -np.inf)
+            if isinstance(best, dict):
+                best = best["value"]
+            if self._is_better(value, best):
+                self._save_model(trainer, name, epoch, value)
+                self._best[name] = {"value": value, "epoch": epoch, "metric": key}
+                self._save_index()
+                saved[name] = True
+                logger.info("checkpointed %s at epoch %d (%s=%.4f)", name, epoch, key, value)
+            else:
+                saved[name] = False
+        return saved
+
+    def _model_dir(self, name: str) -> Path:
+        return (self.directory / name).absolute()
+
+    @staticmethod
+    def _savable_state(trainer, name):
+        """Model state minus rng keys/counters (keys are reseeded, never
+        restored — typed PRNG arrays are not checkpoint-serializable)."""
+        from flax import nnx
+
+        _, rest = nnx.filter_state(
+            trainer.states[name], nnx.RngState, ...
+        )
+        return rest
+
+    def _save_model(self, trainer, name: str, epoch: int, value: float):
+        target = self._model_dir(name)
+        payload = {
+            "params": jax.tree.map(np.asarray, trainer.params[name].to_pure_dict()),
+            "state": jax.tree.map(
+                np.asarray, self._savable_state(trainer, name).to_pure_dict()
+            ),
+        }
+        path = target / "ckpt"
+        if path.exists():
+            import shutil
+
+            shutil.rmtree(path)
+        self._checkpointer.save(path, payload)
+        self._checkpointer.wait_until_finished()
+
+    def restore(self, trainer, name: str) -> bool:
+        """Restore a model's best checkpoint into the trainer. Returns
+        success."""
+        path = self._model_dir(name) / "ckpt"
+        if not path.exists():
+            return False
+        savable = self._savable_state(trainer, name)
+        payload = {
+            "params": jax.tree.map(np.asarray, trainer.params[name].to_pure_dict()),
+            "state": jax.tree.map(np.asarray, savable.to_pure_dict()),
+        }
+        restored = self._checkpointer.restore(path, payload)
+        trainer.params[name].replace_by_pure_dict(restored["params"])
+        # merge restored non-rng state into the live state (rng keys kept)
+        full = trainer.states[name].to_pure_dict()
+        _deep_update(full, restored["state"])
+        trainer.states[name].replace_by_pure_dict(full)
+        return True
+
+    @property
+    def best(self) -> Dict:
+        return dict(self._best)

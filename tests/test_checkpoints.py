@@ -1,0 +1,148 @@
+"""Tests for orbax checkpointing, the sample cache, and the stitcher."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from flax import nnx
+
+from routeformer_tpu.io.cache import SampleCache
+from routeformer_tpu.io.synthetic import synthetic_batch
+from routeformer_tpu.models import RouteformerConfig
+from routeformer_tpu.models.gps_backbone import GPSBackboneConfig, Informer
+from routeformer_tpu.models.routeformer import Routeformer
+from routeformer_tpu.optimizers import build_optimizer
+from routeformer_tpu.train.checkpoints import CheckpointManager
+from routeformer_tpu.train.trainer import ParallelTrainer
+
+
+def tiny_trainer():
+    gps_cfg = GPSBackboneConfig(
+        seq_len=40, label_len=40, pred_len=30,
+        d_model=16, n_heads=4, e_layers=1, d_layers=1, d_ff=32,
+        factor=4, dropout=0.0, activation="relu",
+    )
+    cfg = RouteformerConfig(
+        gps_backbone_config=gps_cfg, discount_factor={0: 0.97}, epsilon=1.0
+    )
+    models = {
+        "informer": Routeformer(cfg, gps_backbone=Informer, rngs=nnx.Rngs(0, dropout=1))
+    }
+    tx = build_optimizer(
+        learning_rate=1e-3, video_backbone_lr=None, warmup_epochs=0, max_epochs=10
+    )
+    return ParallelTrainer(models, tx, cfg)
+
+
+class TestCheckpointManager:
+    def test_save_restore_roundtrip(self, tmp_path):
+        trainer = tiny_trainer()
+        batch = synthetic_batch(0, batch_size=4)
+        ckpt = CheckpointManager(tmp_path)
+
+        trainer.training_step(batch)
+        metrics = trainer.eval_step(batch)
+        saved = ckpt.maybe_save(trainer, metrics, epoch=0)
+        assert saved["informer"]
+
+        golden = jax.tree.map(np.array, trainer.params["informer"].to_pure_dict())
+
+        # keep training -> params drift
+        for _ in range(3):
+            trainer.training_step(batch)
+        drifted = trainer.params["informer"].to_pure_dict()
+        assert any(
+            not np.allclose(a, b)
+            for a, b in zip(jax.tree.leaves(golden), jax.tree.leaves(drifted))
+        )
+
+        assert ckpt.restore(trainer, "informer")
+        restored = trainer.params["informer"].to_pure_dict()
+        for a, b in zip(jax.tree.leaves(golden), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(a, np.asarray(b))
+
+    def test_keeps_best_only(self, tmp_path):
+        trainer = tiny_trainer()
+        ckpt = CheckpointManager(tmp_path)
+        ckpt.maybe_save(trainer, {"val_informer_ade": 5.0}, epoch=0)
+        saved = ckpt.maybe_save(trainer, {"val_informer_ade": 9.0}, epoch=1)
+        assert not saved["informer"]  # worse metric not saved
+        assert ckpt.best["informer"]["value"] == 5.0
+        saved = ckpt.maybe_save(trainer, {"val_informer_ade": 3.0}, epoch=2)
+        assert saved["informer"]
+        assert ckpt.best["informer"]["epoch"] == 2
+
+
+class TestSampleCache:
+    def test_roundtrip_and_heal(self, tmp_path, rng):
+        cache = SampleCache(tmp_path, params_repr="v1")
+        sample = {"gps": rng.normal(size=(40, 2)), "ok": True}
+        assert cache.fetch("item-0") is None
+        cache.push("item-0", sample)
+        hit = cache.fetch("item-0")
+        np.testing.assert_array_equal(hit["gps"], sample["gps"])
+
+        # corrupt the entry -> self-heal (delete + miss)
+        path = next(tmp_path.glob("*.zst"))
+        path.write_bytes(b"garbage")
+        assert cache.fetch("item-0") is None
+        assert not path.exists()
+
+    def test_params_bust_key(self, tmp_path):
+        c1 = SampleCache(tmp_path, params_repr="a")
+        c2 = SampleCache(tmp_path, params_repr="b")
+        c1.push("x", 1)
+        assert c2.fetch("x") is None
+
+    def test_size_bound(self, tmp_path):
+        cache = SampleCache(tmp_path, max_size_bytes=1)
+        cache.push("a", list(range(10000)))
+        assert not cache.push("b", list(range(10000)))
+
+    def test_get_or_compute(self, tmp_path):
+        cache = SampleCache(tmp_path)
+        calls = []
+
+        def compute():
+            calls.append(1)
+            return 42
+
+        assert cache.get_or_compute("k", compute) == 42
+        assert cache.get_or_compute("k", compute) == 42
+        assert len(calls) == 1
+
+
+class TestStitcher:
+    def test_stitch_shifted_pair(self, rng):
+        """Right view = left shifted horizontally -> stitcher recovers the
+        translation homography and produces a wider canvas."""
+        from routeformer_tpu.io.stitcher import ImageStitcher
+
+        h, w, shift = 96, 128, 40
+        ys, xs = np.mgrid[0:h, 0 : w + shift].astype(np.float32)
+        pano = np.stack(
+            [
+                np.sin(xs / 5) * np.cos(ys / 7),
+                np.cos(xs / 11) * np.sin(ys / 3),
+                (xs + ys) % 17 / 17,
+            ],
+            axis=-1,
+        ) * 0.5 + 0.5
+        # speckle for ORB features
+        r = np.random.default_rng(0)
+        pano = np.clip(pano + (r.uniform(size=pano.shape) > 0.99) * 0.5, 0, 1)
+        left = pano[:, :w]
+        right = pano[:, shift : shift + w]
+
+        stitcher = ImageStitcher()
+        canvas = stitcher.stitch_pair(left.astype(np.float32), right.astype(np.float32))
+        assert canvas.shape == (h, 2 * w, 3)
+        # recovered homography is ~translation by +shift in x
+        hmat = stitcher._cached_h
+        np.testing.assert_allclose(hmat[0, 2], shift, atol=2.0)
+        # the stitched extension beyond the left frame matches the panorama
+        # (speckle features interpolate differently at sub-pixel offsets, so
+        # compare in the mean)
+        ext = canvas[:, w : w + shift]
+        err = np.abs(ext[10:-10, 5:-5] - pano[10:-10, w + 5 : w + shift - 5])
+        assert err.mean() < 0.02, err.mean()
