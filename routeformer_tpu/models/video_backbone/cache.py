@@ -1,0 +1,158 @@
+"""Content-addressed embedding cache for frozen video backbones.
+
+Plays the role of torchcache in the reference (the ``@torchcache`` wrappers
+in ``video_backbone/__init__.py:14-31`` with the persistent/memory size
+knobs in ``video_backbone/config.py:19-26``): per-frame backbone embeddings
+of a *frozen* encoder are pure functions of the pixels, so they are cached
+keyed by a content hash of the frame bytes + a module hash, with a RAM tier
+in front of a zstd disk tier.
+
+TPU-first role: beyond saving FLOPs, a cache hit keeps the expensive
+backbone out of the step entirely — the fusion/backbone boundary is where
+the reference's torchcache sits, and the same boundary here keeps the jitted
+train step static (embeddings become plain inputs).
+
+Incompatible with ``train_backbone`` (enforced in the config post-init,
+reference config.py:24-26).
+"""
+
+import hashlib
+from collections import OrderedDict
+from pathlib import Path
+from typing import Callable, Optional
+
+import numpy as np
+
+from routeformer_tpu.utils.logging import get_logger
+
+logger = get_logger("video_backbone.cache")
+
+
+class EmbeddingCache:
+    """Two-tier (RAM + zstd disk) cache of per-frame embeddings."""
+
+    def __init__(
+        self,
+        cache_dir: Optional[str] = None,
+        module_hash: str = "",
+        max_memory_bytes: float = 20e9,
+        max_persistent_bytes: float = 200e9,
+        dtype: str = "bfloat16",
+    ):
+        self.module_hash = module_hash
+        self.max_memory_bytes = max_memory_bytes
+        self.dtype = dtype
+        self._memory: OrderedDict = OrderedDict()
+        self._memory_bytes = 0
+        self._disk = None
+        if cache_dir is not None:
+            from routeformer_tpu.io.cache import SampleCache
+
+            self._disk = SampleCache(
+                Path(cache_dir) / f"embcache_{module_hash[:16]}",
+                params_repr=module_hash,
+                max_size_bytes=max_persistent_bytes,
+            )
+
+    # ------------------------------------------------------------------ #
+
+    def key(self, frames: np.ndarray) -> str:
+        h = hashlib.blake2b(digest_size=20)
+        h.update(self.module_hash.encode())
+        h.update(np.ascontiguousarray(frames).tobytes())
+        return h.hexdigest()
+
+    def _remember(self, key: str, value: np.ndarray):
+        self._memory[key] = value
+        self._memory.move_to_end(key)
+        self._memory_bytes += value.nbytes
+        while self._memory_bytes > self.max_memory_bytes and self._memory:
+            _, evicted = self._memory.popitem(last=False)
+            self._memory_bytes -= evicted.nbytes
+
+    def get_or_compute(
+        self, frames: np.ndarray, compute: Callable[[np.ndarray], np.ndarray]
+    ) -> np.ndarray:
+        """Per-batch lookup: only cache-missing frames go through the
+        backbone (the torchcache behavior)."""
+        n = frames.shape[0]
+        keys = [self.key(frames[i]) for i in range(n)]
+        out: list = [None] * n
+        missing = []
+        for i, k in enumerate(keys):
+            if k in self._memory:
+                self._memory.move_to_end(k)
+                out[i] = self._memory[k]
+                continue
+            if self._disk is not None:
+                hit = self._disk.fetch(k)
+                if hit is not None:
+                    out[i] = hit
+                    self._remember(k, hit)
+                    continue
+            missing.append(i)
+
+        if missing:
+            computed = np.asarray(compute(frames[np.asarray(missing)]))
+            computed = computed.astype(self.dtype)
+            for j, i in enumerate(missing):
+                value = computed[j]
+                out[i] = value
+                self._remember(keys[i], value)
+                if self._disk is not None:
+                    self._disk.push(keys[i], value)
+        return np.stack([np.asarray(o) for o in out])
+
+    @property
+    def memory_bytes(self) -> int:
+        return self._memory_bytes
+
+
+def module_content_hash(module) -> str:
+    """Hash of a module's parameters (the torchcache module-hash role;
+    overridable via config like full_comparison.py:231-256)."""
+    import jax
+
+    h = hashlib.blake2b(digest_size=20)
+    from flax import nnx
+
+    for leaf in jax.tree.leaves(nnx.state(module, nnx.Param).to_pure_dict()):
+        h.update(np.asarray(leaf).tobytes())
+    return h.hexdigest()
+
+
+class CachedBackbone:
+    """Wrap a frozen backbone with the embedding cache (host-side call)."""
+
+    def __init__(self, backbone, config):
+        import jax
+        from flax import nnx
+
+        self.backbone = backbone
+        module_hash = config.cache_module_hash or module_content_hash(backbone)
+        self.cache = EmbeddingCache(
+            cache_dir=config.cache_dir,
+            module_hash=module_hash,
+            max_memory_bytes=config.max_memory_cache_size,
+            max_persistent_bytes=config.max_persistent_cache_size,
+            dtype=config.cache_dtype,
+        )
+        graphdef, state = nnx.split(backbone)
+
+        @jax.jit
+        def fwd(state, frames):
+            model = nnx.merge(graphdef, state)
+            return model(frames)
+
+        self._fwd = fwd
+        self._state = state
+
+    @property
+    def output_feature_shape(self):
+        return self.backbone.output_feature_shape
+
+    def __call__(self, frames) -> np.ndarray:
+        frames = np.asarray(frames)
+        return self.cache.get_or_compute(
+            frames, lambda missing: self._fwd(self._state, missing)
+        )

@@ -1,0 +1,115 @@
+"""Torch checkpoint -> Flax parameter conversion.
+
+Plays the role of the reference's pretrained-weight plumbing: timm loads
+pretrained encoders from the hub (``TimmBackbone.py:41-46``) and InverseForm
+has a fuzzy state-dict remapper (``InverseForm.py:94-133``). This
+environment is zero-egress, so weights arrive as files; this module maps a
+torch ``state_dict`` (or a dict of numpy arrays) onto an NNX module's
+parameter tree:
+
+- name-based matching after normalizing separators, with the reference's
+  fuzzy fallback (suffix matching when prefixes differ);
+- layout transposition: torch Linear (out, in) -> flax (in, out); torch
+  Conv2d (out, in, kh, kw) -> flax (kh, kw, in, out); Conv1d
+  (out, in, k) -> (k, in, out).
+"""
+
+from typing import Dict, Tuple
+
+import numpy as np
+from flax import nnx
+
+from routeformer_tpu.utils.logging import get_logger
+
+logger = get_logger("video_backbone.convert")
+
+
+def _to_numpy(value) -> np.ndarray:
+    if hasattr(value, "detach"):  # torch tensor
+        return value.detach().cpu().numpy()
+    return np.asarray(value)
+
+
+def _transpose_for_flax(torch_array: np.ndarray, flax_shape: Tuple[int, ...]):
+    """Find the layout transposition matching the flax shape."""
+    a = torch_array
+    if a.shape == tuple(flax_shape):
+        return a
+    if a.ndim == 2 and a.T.shape == tuple(flax_shape):  # Linear kernel
+        return a.T
+    if a.ndim == 4:  # Conv2d OIHW -> HWIO
+        cand = a.transpose(2, 3, 1, 0)
+        if cand.shape == tuple(flax_shape):
+            return cand
+    if a.ndim == 3:  # Conv1d OIK -> KIO
+        cand = a.transpose(2, 1, 0)
+        if cand.shape == tuple(flax_shape):
+            return cand
+    return None
+
+
+def load_torch_state_dict(
+    module: nnx.Module, state_dict: Dict[str, np.ndarray], fuzzy: bool = True
+) -> Tuple[int, int]:
+    """Load torch weights into an NNX module in place.
+
+    Returns (n_loaded, n_total_params). Unmatched parameters keep their
+    initialization (logged), mirroring the reference's tolerant loader.
+    """
+    flat = nnx.to_flat_state(nnx.state(module, nnx.Param))
+    available = {k: _to_numpy(v) for k, v in state_dict.items()}
+
+    def norm(name: str) -> str:
+        return (
+            name.replace("kernel", "weight")
+            .replace("scale", "weight")
+            .replace("/", ".")
+        )
+
+    loaded = 0
+    updates = []
+    for path, variable in flat:
+        flax_name = ".".join(str(p) for p in path)
+        want = norm(flax_name)
+        candidates = [k for k in available if norm(k) == want]
+        if not candidates and fuzzy:
+            # suffix match (the reference strips mismatched prefixes)
+            candidates = [
+                k for k in available
+                if norm(k).endswith(want) or want.endswith(norm(k))
+            ]
+        matched = None
+        for cand in candidates:
+            arr = _transpose_for_flax(available[cand], variable.value.shape)
+            if arr is not None:
+                matched = (cand, arr)
+                break
+        if matched is None:
+            logger.info("no checkpoint match for %s %s", flax_name, variable.value.shape)
+            continue
+        cand, arr = matched
+        variable.value = arr.astype(np.asarray(variable.value).dtype)
+        available.pop(cand, None)
+        loaded += 1
+        updates.append((path, variable))
+
+    state = nnx.from_flat_state(flat)
+    nnx.update(module, state)
+    logger.info("loaded %d/%d params from checkpoint", loaded, len(flat))
+    return loaded, len(flat)
+
+
+def load_torch_checkpoint(module: nnx.Module, path, fuzzy: bool = True):
+    """Load a ``.pth``/``.pt`` file (or a pickled numpy dict) into a module."""
+    import pickle
+
+    try:
+        import torch
+
+        state = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:  # noqa: BLE001 — fall back to plain pickle of numpy dicts
+        with open(path, "rb") as fh:
+            state = pickle.load(fh)
+    if isinstance(state, dict) and "state_dict" in state:
+        state = state["state_dict"]
+    return load_torch_state_dict(module, state, fuzzy=fuzzy)
