@@ -123,12 +123,23 @@ def parse_gpmf(data: bytes) -> Iterator[KLVItem]:
 
 
 def build_gps_points(
-    data: bytes, dilution_threshold: float = 500.0
+    data: bytes, dilution_threshold: float = 500.0, prefer_native: bool = True
 ) -> Tuple[List[GPSPoint], List[float]]:
     """GPMF byte stream -> dilution-filtered, timestamped GPS points.
 
     FSM over SCAL/GPSU/GPSF/GPSP/GPS5 (reference dataset.py:2387-2442).
+    Dispatches to the C++ walker (``native/gpmf.cpp``) when built; this
+    Python FSM is the reference implementation and fallback.
     """
+    if prefer_native:
+        try:
+            from routeformer_tpu.io.gpmf_native import build_gps_points_native
+
+            result = build_gps_points_native(data, dilution_threshold)
+            if result is not None:
+                return result
+        except Exception as e:  # noqa: BLE001 — any native failure falls back
+            logger.warning("native gpmf path failed (%s); using python", e)
     points: List[GPSPoint] = []
     dilutions: List[float] = []
 

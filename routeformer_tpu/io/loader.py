@@ -1,0 +1,130 @@
+"""Streaming batch loader with background prefetch.
+
+Replaces the reference's ``torch.utils.data.DataLoader`` wiring
+(``experiments/full_comparison.py:761-770``: worker processes,
+persistent workers, per-rank partitioning) with a TPU-appropriate design:
+
+- sample assembly happens in a thread pool (the heavy lifting — decode,
+  undistort, resize — already releases the GIL inside cv2/XLA);
+- assembled batches are prefetched into a bounded queue so host IO overlaps
+  device compute;
+- per-host sharding for multi-process SPMD: each process reads its
+  ``process_index``-strided subset (the DataLoader-worker-per-rank
+  equivalent over jax process indices).
+"""
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional, Sequence
+
+import numpy as np
+
+from routeformer_tpu.utils.logging import get_logger
+
+logger = get_logger("io.loader")
+
+
+def default_collate(samples: Sequence[dict]) -> dict:
+    """Stack a list of sample dicts into one batch dict (nested)."""
+    first = samples[0]
+    out = {}
+    for key, value in first.items():
+        if isinstance(value, dict):
+            out[key] = default_collate([s[key] for s in samples])
+        elif isinstance(value, np.ndarray):
+            out[key] = np.stack([s[key] for s in samples])
+        else:
+            out[key] = np.asarray([s[key] for s in samples])
+    return out
+
+
+class DataLoader:
+    """Prefetching batch iterator over an indexable dataset."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 16,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = True,
+        num_threads: int = 8,
+        prefetch: int = 2,
+        collate_fn: Optional[Callable] = None,
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self.collate = collate_fn or default_collate
+        self.process_index = process_index
+        self.process_count = process_count
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Reshuffle seed per epoch (DistributedSampler role)."""
+        self._epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(idx)
+        # per-host strided shard
+        return idx[self.process_index :: self.process_count]
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[dict]:
+        indices = self._indices()
+        n_batches = len(self)
+        batches = [
+            indices[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(n_batches)
+        ]
+
+        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            from multiprocessing.pool import ThreadPool
+
+            try:
+                with ThreadPool(self.num_threads) as pool:
+                    for batch_idx in batches:
+                        if stop.is_set():
+                            return
+                        samples = pool.map(
+                            self.dataset.__getitem__, [int(i) for i in batch_idx]
+                        )
+                        out_q.put(self.collate(samples))
+            except Exception as e:  # noqa: BLE001 — surface on the consumer side
+                out_q.put(e)
+            finally:
+                out_q.put(None)
+
+        worker = threading.Thread(target=produce, daemon=True)
+        worker.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while worker.is_alive():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break

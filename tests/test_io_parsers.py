@@ -237,3 +237,98 @@ class TestResample:
         expected = np.stack([np.sin(grid), np.cos(grid)], axis=-1)
         err = np.abs(out - expected).mean()
         assert err < 0.05
+
+
+class TestNativeGPMF:
+    def test_native_matches_python(self):
+        """The C++ walker must produce identical points to the Python FSM."""
+        from routeformer_tpu.io.gpmf_native import (
+            build_gps_points_native,
+            native_available,
+        )
+
+        if not native_available():
+            pytest.skip("native gpmf library not built")
+        data = make_gpmf_fixture()
+        py_points, py_dil = build_gps_points(data, 500, prefer_native=False)
+        nat_points, nat_dil = build_gps_points_native(data, 500)
+        assert len(py_points) == len(nat_points)
+        for p, n in zip(py_points, nat_points):
+            np.testing.assert_allclose(
+                [p.latitude, p.longitude, p.altitude, p.speed],
+                [n.latitude, n.longitude, n.altitude, n.speed],
+                rtol=1e-12,
+            )
+            assert abs((p.time - n.time).total_seconds()) < 1e-3
+        np.testing.assert_allclose(py_dil, nat_dil)
+
+    def test_native_on_large_stream(self, rng):
+        """Multi-batch stream parity + sanity on throughput path."""
+        from routeformer_tpu.io.gpmf_native import (
+            build_gps_points_native,
+            native_available,
+        )
+
+        if not native_available():
+            pytest.skip("native gpmf library not built")
+        scal = struct.pack(">lllll", 10000000, 10000000, 1000, 1000, 100)
+        items = [
+            ("SCAL", "l", scal, 4, 5),
+            ("GPSF", "L", struct.pack(">L", 3), 4, 1),
+            ("GPSP", "S", struct.pack(">H", 120), 2, 1),
+        ]
+        base = datetime.datetime(2023, 5, 15, 12, 0, 0)
+        for batch in range(50):
+            t = base + datetime.timedelta(seconds=batch)
+            items.append(
+                ("GPSU", "U", t.strftime("%y%m%d%H%M%S.%f")[:16].encode(), 16, 1)
+            )
+            pts = [
+                (47.0 + batch * 1e-4 + i * 1e-6, 8.0, 400.0, 5.0, 5.0)
+                for i in range(18)
+            ]
+            items.append(("GPS5", "l", gps5_payload(pts), 20, 18))
+        data = encode_gpmf(items)
+
+        py_points, _ = build_gps_points(data, 500, prefer_native=False)
+        nat_points, _ = build_gps_points_native(data, 500)
+        assert len(py_points) == len(nat_points) == 900
+        for p, n in zip(py_points[::97], nat_points[::97]):
+            np.testing.assert_allclose(p.latitude, n.latitude, rtol=1e-12)
+            assert abs((p.time - n.time).total_seconds()) < 1e-3
+
+    def test_array_fast_path_parity(self):
+        """build_gps_arrays (C++ walk + vectorized timestamp fix) must match
+        the Python object path exactly."""
+        from routeformer_tpu.io.gpmf_native import build_gps_arrays, native_available
+
+        if not native_available():
+            pytest.skip("native gpmf library not built")
+        scal = struct.pack(">lllll", 10000000, 10000000, 1000, 1000, 100)
+        items = [
+            ("SCAL", "l", scal, 4, 5),
+            ("GPSF", "L", struct.pack(">L", 3), 4, 1),
+            ("GPSP", "S", struct.pack(">H", 120), 2, 1),
+        ]
+        base = datetime.datetime(2023, 5, 15, 12, 0, 0)
+        for batch in range(20):
+            t = base + datetime.timedelta(seconds=batch)
+            items.append(
+                ("GPSU", "U", t.strftime("%y%m%d%H%M%S.%f")[:16].encode(), 16, 1)
+            )
+            pts = [(47.0 + batch * 1e-4, 8.0, 400.0, 5.0, 5.0)] * 18
+            items.append(("GPS5", "l", gps5_payload(pts), 20, 18))
+        data = encode_gpmf(items)
+
+        vals, times, dil = build_gps_arrays(data)
+        py_points, py_dil = build_gps_points(data, prefer_native=False)
+        assert len(vals) == len(py_points)
+        py_t = np.array(
+            [
+                p.time.replace(tzinfo=datetime.timezone.utc).timestamp()
+                for p in py_points
+            ]
+        )
+        np.testing.assert_allclose(times, py_t, atol=2e-3)
+        np.testing.assert_allclose(vals[:, 0], [p.latitude for p in py_points])
+        np.testing.assert_allclose(dil, py_dil)
