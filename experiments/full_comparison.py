@@ -246,13 +246,41 @@ def build_data(with_video: bool):
     """Dataset batches: real GEM/DR(eye)VE pipelines when present, synthetic
     otherwise (this container ships no recordings)."""
     if DATASET_DIR and Path(DATASET_DIR).exists():
-        if DATASET == "DREYEVE":
-            from routeformer_tpu.io.dataset_dreyeve import DreyeveDataset  # noqa: F401
-        else:
-            from routeformer_tpu.io.dataset import GEMDataset  # noqa: F401
-        raise NotImplementedError(
-            "real-dataset batching wiring lands with the dataset loaders"
+        from routeformer_tpu.io.loader import DataLoader
+
+        cache_dir = os.getenv(
+            f"{'DREYEVE' if DATASET == 'DREYEVE' else 'ROUTEFORMER'}_DATASET_CACHE_DIR"
         )
+        common = dict(
+            input_length=INPUT_LENGTH_SECONDS,
+            target_length=TARGET_LENGTH_SECONDS,
+            step_size=STEP_SIZE_SECONDS,
+            output_fps=OUTPUT_FPS,
+            gopro_scaling_factor=GOPRO_SCALING_FACTOR,
+            front_scaling_factor=FRONT_SCALING_FACTOR,
+            with_video=with_video,
+            use_cache=cache_dir is not None,
+            cache_dir=cache_dir,
+        )
+        if DATASET == "DREYEVE":
+            from routeformer_tpu.io.dataset_dreyeve import DreyeveDataset
+
+            # train uses min_pci=0, eval min_pci=MIN_PCI
+            # (reference full_comparison.py:80,726,747)
+            ds_train = DreyeveDataset(root_dir=DATASET_DIR, split="train",
+                                      min_pci=0, **common)
+            ds_val = DreyeveDataset(root_dir=DATASET_DIR, split="val",
+                                    min_pci=MIN_PCI, **common)
+        else:
+            from routeformer_tpu.io.dataset import GEMDataset
+
+            ds_train = GEMDataset(root=DATASET_DIR, split="train", min_pci=0,
+                                  with_gaze=with_video, **common)
+            ds_val = GEMDataset(root=DATASET_DIR, split="val", min_pci=MIN_PCI,
+                                with_gaze=with_video, **common)
+        train = DataLoader(ds_train, batch_size=BATCH_SIZE, shuffle=True)
+        val = DataLoader(ds_val, batch_size=BATCH_SIZE, shuffle=False)
+        return train, val
     from routeformer_tpu.io.synthetic import SyntheticDataset
 
     n_train = 2 if DEBUG else 64
@@ -292,15 +320,38 @@ def main():
 
     train_data, val_data = build_data(with_video)
 
+    # DR(eye)VE has one garmin view; split it into left/right halves
+    # (reference full_comparison.py:534-551, ENABLE_LEFT_VIDEO_SPLIT).
+    from routeformer_tpu.train.trainer import maybe_split_video
+
+    split_video = (
+        DATASET == "DREYEVE"
+        and with_video
+        and os.getenv("ENABLE_LEFT_VIDEO_SPLIT", "1") == "1"
+        and DATASET_DIR is not None
+        and Path(DATASET_DIR).exists()
+    )
+
+    def iter_batches(data, epoch):
+        if hasattr(data, "set_epoch"):  # DataLoader
+            data.set_epoch(epoch)
+            yield from data
+        else:  # indexable synthetic dataset of pre-batched items
+            for i in range(len(data)):
+                yield data[i]
+
     for epoch in range(EPOCHS):
         trainer.epoch = epoch
-        for i in range(len(train_data)):
-            metrics = trainer.training_step(train_data[i])
+        for i, batch in enumerate(iter_batches(train_data, epoch)):
+            batch = maybe_split_video(batch, split_video)
+            metrics = trainer.training_step(batch)
             if i % 10 == 0:
                 metrics_logger.log(metrics, epoch * len(train_data) + i, "train")
         val_metrics = {}
-        for i in range(len(val_data)):
-            val_metrics = trainer.eval_step(val_data[i], "val")
+        for batch in iter_batches(val_data, epoch):
+            val_metrics = trainer.eval_step(
+                maybe_split_video(batch, split_video), "val"
+            )
         metrics_logger.log(val_metrics, epoch, "val")
         ckpt.maybe_save(trainer, val_metrics, epoch)
         print(

@@ -49,6 +49,10 @@ class TimmBackboneConfig(VideoBackboneConfig):
     model_type: Optional[str] = None
     # Path to a converted checkpoint (torch state_dict -> flax), optional.
     checkpoint_path: Optional[str] = None
+    # Computation dtype for the encoder (params stay float32). bfloat16 is
+    # the TPU-native choice and plays the role of the reference's autocast
+    # (TimmBackbone.py:132).
+    compute_dtype: str = "bfloat16"
 
 
 @dataclass

@@ -64,13 +64,15 @@ PRESETS = {
 
 
 class ViTBlock(nnx.Module):
-    def __init__(self, width: int, heads: int, *, rngs: nnx.Rngs):
+    def __init__(self, width: int, heads: int, dtype=None, *, rngs: nnx.Rngs):
+        # dtype = computation dtype (bf16 on TPU); params stay float32 and
+        # LayerNorms reduce in float32 for stability.
         self.norm1 = nnx.LayerNorm(width, rngs=rngs)
         self.norm2 = nnx.LayerNorm(width, rngs=rngs)
-        self.qkv = nnx.Linear(width, 3 * width, rngs=rngs)
-        self.proj = nnx.Linear(width, width, rngs=rngs)
-        self.fc1 = nnx.Linear(width, 4 * width, rngs=rngs)
-        self.fc2 = nnx.Linear(4 * width, width, rngs=rngs)
+        self.qkv = nnx.Linear(width, 3 * width, dtype=dtype, rngs=rngs)
+        self.proj = nnx.Linear(width, width, dtype=dtype, rngs=rngs)
+        self.fc1 = nnx.Linear(width, 4 * width, dtype=dtype, rngs=rngs)
+        self.fc2 = nnx.Linear(4 * width, width, dtype=dtype, rngs=rngs)
         self.heads = heads
         self.width = width
 
@@ -113,16 +115,32 @@ class TimmBackbone(VideoBackboneModule):
         p = self.preset
         grid = p.img_size // p.patch_size
         self.grid = grid
+        compute_dtype = (
+            jnp.bfloat16
+            if getattr(configs, "compute_dtype", "float32") == "bfloat16"
+            else None
+        )
+        self.compute_dtype = compute_dtype
         self.patch_embed = nnx.Conv(
             3, p.width, kernel_size=(p.patch_size, p.patch_size),
-            strides=(p.patch_size, p.patch_size), padding="VALID", rngs=rngs,
+            strides=(p.patch_size, p.patch_size), padding="VALID",
+            dtype=compute_dtype, rngs=rngs,
         )
         self.pos_embed = nnx.Param(
             nnx.initializers.normal(0.02)(rngs.params(), (1, grid * grid, p.width))
         )
-        self.blocks = nnx.List(
-            [ViTBlock(p.width, p.heads, rngs=rngs) for _ in range(p.depth)]
-        )
+        # The encoder blocks are created STACKED (params carry a leading
+        # depth axis) and applied with nnx.scan: the XLA program contains one
+        # block body instead of depth x call-sites copies — this cuts the
+        # flagship train-step compile time dramatically (compiles here go
+        # through a remote tunnel) without changing the math.
+        @nnx.split_rngs(splits=p.depth)
+        @nnx.vmap(in_axes=(0,), out_axes=0)
+        def create_blocks(block_rngs):
+            return ViTBlock(p.width, p.heads, dtype=compute_dtype, rngs=block_rngs)
+
+        self.blocks = create_blocks(rngs)
+        self.depth = p.depth
         self.norm = nnx.LayerNorm(p.width, rngs=rngs)
         self._output_feature_shape = (grid, grid, p.width)
 
@@ -154,12 +172,18 @@ class TimmBackbone(VideoBackboneModule):
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
         """(N, H, W, C) frames -> (N, H', W', C') features."""
         x = self.preprocess(images)
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
         x = self.patch_embed(x)  # (N, grid, grid, width)
         n, gh, gw, c = x.shape
-        x = x.reshape(n, gh * gw, c) + self.pos_embed[...]
-        for block in self.blocks:
-            x = block(x)
-        x = self.norm(x)
+        x = x.reshape(n, gh * gw, c) + self.pos_embed[...].astype(x.dtype)
+
+        @nnx.scan(in_axes=(0, nnx.Carry), out_axes=nnx.Carry)
+        def run_blocks(block, x):
+            return block(x)
+
+        x = run_blocks(self.blocks, x)
+        x = self.norm(x.astype(jnp.float32))
         x = x.reshape(n, gh, gw, c)
         if not (self.train_backbone or self.unfreeze):
             x = jax.lax.stop_gradient(x)

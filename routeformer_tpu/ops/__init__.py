@@ -20,9 +20,24 @@ from routeformer_tpu.ops.attention import (
     dot_product_attention,
     prob_sparse_attention,
 )
+from routeformer_tpu.ops.heatmap import overlay_heatmap_on_frame, rasterize_gaze_heatmap
+from routeformer_tpu.ops.image import (
+    crop_horizontal,
+    remap,
+    resize_video,
+    to_float16,
+    undistort_video,
+)
 
 __all__ = [
     "dot_product_attention",
     "prob_sparse_attention",
     "autocorrelation_attention",
+    "rasterize_gaze_heatmap",
+    "overlay_heatmap_on_frame",
+    "remap",
+    "resize_video",
+    "crop_horizontal",
+    "undistort_video",
+    "to_float16",
 ]

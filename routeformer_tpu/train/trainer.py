@@ -47,6 +47,23 @@ def set_mc_sampling(model: nnx.Module, enabled: bool) -> None:
             module.deterministic = not enabled
 
 
+def maybe_split_video(batch: dict, enabled: bool = True) -> dict:
+    """DR(eye)VE left-video split (reference full_comparison.py:534-551):
+    the garmin view is cut into left/right halves to feed the two-view
+    model. Operates on channel-last (B, T, H, W, C) batches in place."""
+    if not enabled:
+        return batch
+    for phase in ("train", "target"):
+        videos = batch.get(phase, {})
+        if "left_video" not in videos or "right_video" in videos:
+            continue
+        full = videos["left_video"]
+        width = full.shape[3]
+        videos["right_video"] = full[:, :, :, int(0.5 * width) :]
+        videos["left_video"] = full[:, :, :, : int(0.5 * width)]
+    return batch
+
+
 class ParallelTrainer:
     """Train all candidate models in lockstep with one optimizer."""
 

@@ -1,0 +1,118 @@
+"""Tests for the prefetching DataLoader, profiling utils, and video split."""
+
+import time
+
+import numpy as np
+import pytest
+
+from routeformer_tpu.io.loader import DataLoader, default_collate
+from routeformer_tpu.train.trainer import maybe_split_video
+from routeformer_tpu.utils.profiling import TimeIt, reset_timing, time_it, timing_summary
+
+
+class ListDataset:
+    def __init__(self, n, delay=0.0):
+        self.n = n
+        self.delay = delay
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        if self.delay:
+            time.sleep(self.delay)
+        return {
+            "train": {"gps": np.full((4, 2), float(i), dtype=np.float32)},
+            "pci": np.float32(i),
+        }
+
+
+class TestDataLoader:
+    def test_batching_and_collation(self):
+        loader = DataLoader(ListDataset(10), batch_size=4, shuffle=False)
+        batches = list(loader)
+        assert len(batches) == 2  # drop_last
+        assert batches[0]["train"]["gps"].shape == (4, 4, 2)
+        np.testing.assert_allclose(batches[0]["pci"], [0, 1, 2, 3])
+
+    def test_shuffle_reproducible_per_epoch(self):
+        loader = DataLoader(ListDataset(16), batch_size=4, shuffle=True, seed=7)
+        e0_a = [b["pci"].tolist() for b in loader]
+        e0_b = [b["pci"].tolist() for b in loader]
+        assert e0_a == e0_b
+        loader.set_epoch(1)
+        e1 = [b["pci"].tolist() for b in loader]
+        assert e1 != e0_a
+
+    def test_process_sharding(self):
+        seen = set()
+        for rank in range(2):
+            loader = DataLoader(
+                ListDataset(8), batch_size=2, process_index=rank, process_count=2
+            )
+            for b in loader:
+                seen.update(b["pci"].tolist())
+        assert seen == set(range(8))
+
+    def test_prefetch_overlaps(self):
+        """With prefetch, consuming slowly should not serialize production."""
+        loader = DataLoader(
+            ListDataset(8, delay=0.02), batch_size=2, num_threads=4, prefetch=2
+        )
+        t0 = time.time()
+        for _ in loader:
+            time.sleep(0.03)
+        elapsed = time.time() - t0
+        # fully serialized would be ~4*(2*0.02/4thr + 0.03) + ...; just check
+        # it terminates and is reasonably fast
+        assert elapsed < 1.0
+
+    def test_error_propagation(self):
+        class Bad(ListDataset):
+            def __getitem__(self, i):
+                raise RuntimeError("boom")
+
+        loader = DataLoader(Bad(4), batch_size=2)
+        with pytest.raises(RuntimeError, match="boom"):
+            list(loader)
+
+
+class TestProfiling:
+    def test_time_it_and_summary(self):
+        reset_timing()
+
+        @time_it
+        def slow():
+            time.sleep(0.01)
+
+        slow()
+        slow()
+        with TimeIt("manual"):
+            time.sleep(0.005)
+        summary = timing_summary()
+        assert summary["TestProfiling.test_time_it_and_summary.<locals>.slow"]["count"] == 2
+        assert summary["manual"]["count"] == 1
+        assert summary["manual"]["mean"] >= 0.005
+
+
+class TestMaybeSplitVideo:
+    def test_splits_left_into_halves(self, rng):
+        batch = {
+            "train": {
+                "left_video": rng.uniform(size=(2, 4, 8, 10, 3)).astype(np.float32)
+            },
+            "target": {
+                "left_video": rng.uniform(size=(2, 3, 8, 10, 3)).astype(np.float32)
+            },
+        }
+        full = batch["train"]["left_video"].copy()
+        out = maybe_split_video(batch)
+        assert out["train"]["left_video"].shape[3] == 5
+        assert out["train"]["right_video"].shape[3] == 5
+        np.testing.assert_array_equal(out["train"]["right_video"], full[:, :, :, 5:])
+
+    def test_noop_when_right_exists(self, rng):
+        v = rng.uniform(size=(1, 2, 4, 6, 3)).astype(np.float32)
+        batch = {"train": {"left_video": v, "right_video": v}}
+        out = maybe_split_video(batch)
+        assert out["train"]["left_video"].shape[3] == 6
