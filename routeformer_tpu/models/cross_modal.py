@@ -60,31 +60,57 @@ class PerceiveEncoder(nnx.Module):
 
         self.value_embedding = TokenEmbedding(in_channels, d_model, rngs=rngs)
         self.position_embedding = PositionalEmbedding(d_model)
-        self.encoder = Encoder(
-            [
-                EncoderLayer(
-                    AttentionLayer(
-                        ProbAttention(
-                            False, factor,
-                            attention_dropout=dropout,
-                            output_attention=output_attention,
-                            rngs=rngs,
-                        ),
-                        d_model, n_heads, mix=False, rngs=rngs,
+
+        def make_layer(layer_rngs):
+            return EncoderLayer(
+                AttentionLayer(
+                    ProbAttention(
+                        False, factor,
+                        attention_dropout=dropout,
+                        output_attention=output_attention,
+                        rngs=layer_rngs,
                     ),
-                    d_model, d_ff, dropout=dropout, activation=activation,
-                    rngs=rngs,
-                )
-                for _ in range(layers)
-            ],
-            None,  # no distillation: temporal shape must be preserved
-            norm_layer=nnx.LayerNorm(d_model, rngs=rngs),
-        )
+                    d_model, n_heads, mix=False, rngs=layer_rngs,
+                ),
+                d_model, d_ff, dropout=dropout, activation=activation,
+                rngs=layer_rngs,
+            )
+
+        # Identical-shape self-attention layers (no distillation — the
+        # temporal shape must be preserved) are built stacked and applied
+        # with nnx.scan: one layer body per encoder in the compiled program
+        # instead of `layers` inlined copies. With attention outputs
+        # requested, fall back to the unscanned stack (attns are collected
+        # per layer there).
+        self.scan_layers = not output_attention
+        if self.scan_layers:
+            create = nnx.split_rngs(splits=layers)(
+                nnx.vmap(make_layer, in_axes=(0,), out_axes=0)
+            )
+            self.stacked_layers = create(rngs)
+            self.norm = nnx.LayerNorm(d_model, rngs=rngs)
+            self.encoder = None
+        else:
+            self.encoder = Encoder(
+                [make_layer(rngs) for _ in range(layers)],
+                None,
+                norm_layer=nnx.LayerNorm(d_model, rngs=rngs),
+            )
         self.projection = nnx.Linear(d_model, out_channels, rngs=rngs)
 
     def __call__(self, x_enc: jnp.ndarray):
         enc_out = self.value_embedding(x_enc) + self.position_embedding(x_enc)
-        enc_out, attns = self.encoder(enc_out, attn_mask=None)
+        if self.scan_layers:
+            @nnx.scan(in_axes=(0, nnx.Carry), out_axes=nnx.Carry)
+            def run_layers(layer, x):
+                x, _ = layer(x, attn_mask=None)
+                return x
+
+            enc_out = run_layers(self.stacked_layers, enc_out)
+            enc_out = self.norm(enc_out)
+            attns = None
+        else:
+            enc_out, attns = self.encoder(enc_out, attn_mask=None)
         enc_out = self.projection(enc_out)
 
         if self.output_attention:

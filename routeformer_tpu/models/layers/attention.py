@@ -49,13 +49,16 @@ class FullAttention(nnx.Module):
         self.output_attention = output_attention
         self.attention_dropout = attention_dropout
         self.deterministic = False
-        self.rngs = rngs
+        # Fork a per-instance rng stream (exactly what nnx.Dropout does);
+        # storing the shared Rngs/stream reference keeps unstacked shared
+        # state under nnx.vmap/scan layer stacking.
+        self.rng_stream = rngs.dropout.fork()
 
     def __call__(self, queries, keys, values, attn_mask=None):
         # attn_mask=None + mask_flag -> causal mask, matching the reference's
         # TriangularCausalMask default. Explicit masks are additive biases.
         deterministic = self.deterministic or self.attention_dropout == 0.0
-        dropout_rng = None if deterministic else self.rngs.dropout()
+        dropout_rng = None if deterministic else self.rng_stream()
         out, attn = dot_product_attention(
             queries,
             keys,
@@ -87,13 +90,13 @@ class ProbAttention(nnx.Module):
         self.scale = scale
         self.output_attention = output_attention
         self.deterministic = False
-        self.rngs = rngs
+        self.rng_stream = rngs.dropout.fork()
 
     def __call__(self, queries, keys, values, attn_mask=None):
         if self.deterministic:
             sample_rng = jax.random.PRNGKey(0)
         else:
-            sample_rng = self.rngs.dropout()
+            sample_rng = self.rng_stream()
         out, _ = prob_sparse_attention(
             queries,
             keys,
