@@ -1,0 +1,300 @@
+"""SwinV2 vision backbone (Flax NNX).
+
+Faithful SwinV2 architecture for the reference's flagship video encoder slot
+(timm ``swinv2_base_window12to16_192to256`` — reference
+``experiments/full_comparison.py:231-239``): hierarchical stages with
+window attention (alternating shifted windows), patch merging between
+stages, and the three SwinV2 changes over v1 — residual-post-norm, cosine
+attention with a learnable temperature, and a continuous log-spaced
+relative-position-bias MLP.
+
+Pretrained weights import through ``video_backbone/convert.py`` when the
+user supplies a checkpoint (zero-egress environment); otherwise random init.
+TPU notes: window partitioning is pure static reshapes/transposes; the
+window attention batch is ``(N * windows, win², C)`` — large, uniform MXU
+matmuls; blocks within a stage run under ``nnx.scan`` pairs (W-MSA/SW-MSA)
+to keep the compiled program small.
+"""
+
+import math
+from dataclasses import dataclass
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from routeformer_tpu.models.video_backbone.config import (
+    TimmBackboneConfig,
+    VideoBackboneModule,
+)
+from routeformer_tpu.models.video_backbone.vit import IMAGENET_MEAN, IMAGENET_STD
+
+
+def window_partition(x: jnp.ndarray, window: int) -> jnp.ndarray:
+    """(N, H, W, C) -> (N * nH * nW, window, window, C)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // window, window, w // window, window, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window, window, c)
+
+
+def window_reverse(windows: jnp.ndarray, window: int, h: int, w: int) -> jnp.ndarray:
+    """Inverse of window_partition."""
+    n = windows.shape[0] // ((h // window) * (w // window))
+    x = windows.reshape(n, h // window, w // window, window, window, -1)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h, w, -1)
+
+
+def _relative_coords_table(window: int) -> np.ndarray:
+    """Log-spaced continuous relative coordinates (SwinV2 CPB input)."""
+    coords = np.arange(-(window - 1), window, dtype=np.float64)
+    table = np.stack(np.meshgrid(coords, coords, indexing="ij"), axis=-1)
+    table = table / (window - 1)  # normalize to [-1, 1]
+    table = np.sign(table) * np.log2(np.abs(table) * 8 + 1.0) / np.log2(8)
+    return table.reshape(-1, 2).astype(np.float32)
+
+
+def _relative_position_index(window: int) -> np.ndarray:
+    coords = np.stack(
+        np.meshgrid(np.arange(window), np.arange(window), indexing="ij")
+    )  # (2, w, w)
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # (2, ws², ws²)
+    rel = rel.transpose(1, 2, 0) + (window - 1)
+    return (rel[..., 0] * (2 * window - 1) + rel[..., 1]).astype(np.int32)
+
+
+def _shift_attn_mask(h: int, w: int, window: int, shift: int) -> np.ndarray:
+    """Additive mask isolating the wrapped regions of shifted windows."""
+    img = np.zeros((1, h, w, 1), dtype=np.int32)
+    cnt = 0
+    for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+        for ws in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+            img[:, hs, ws, :] = cnt
+            cnt += 1
+    wins = np.asarray(window_partition(jnp.asarray(img), window)).reshape(
+        -1, window * window
+    )
+    mask = wins[:, None, :] - wins[:, :, None]
+    return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+class WindowAttention(nnx.Module):
+    """SwinV2 cosine window attention with a CPB-MLP relative bias."""
+
+    def __init__(self, dim: int, window: int, n_heads: int, dtype=None, *, rngs: nnx.Rngs):
+        self.dim = dim
+        self.window = window
+        self.n_heads = n_heads
+        self.qkv = nnx.Linear(dim, 3 * dim, use_bias=False, dtype=dtype, rngs=rngs)
+        self.q_bias = nnx.Param(jnp.zeros((dim,)))
+        self.v_bias = nnx.Param(jnp.zeros((dim,)))
+        self.proj = nnx.Linear(dim, dim, dtype=dtype, rngs=rngs)
+        self.logit_scale = nnx.Param(
+            jnp.full((n_heads, 1, 1), math.log(10.0))
+        )
+        # continuous position bias MLP: 2 -> 512 -> heads
+        self.cpb_fc1 = nnx.Linear(2, 512, rngs=rngs)
+        self.cpb_fc2 = nnx.Linear(512, n_heads, use_bias=False, rngs=rngs)
+        self.coords_table = jnp.asarray(_relative_coords_table(window))
+        self.rel_index = jnp.asarray(_relative_position_index(window))
+
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
+        """x: (B_windows, ws², C); mask: (n_windows, ws², ws²) additive."""
+        b, n, c = x.shape
+        h = self.n_heads
+        qkv_bias = jnp.concatenate(
+            [self.q_bias[...], jnp.zeros((c,)), self.v_bias[...]]
+        )
+        qkv = self.qkv(x) + qkv_bias
+        qkv = qkv.reshape(b, n, 3, h, c // h).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, N, d)
+
+        # cosine attention
+        qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-6)
+        kn = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-6)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", qn, kn).astype(jnp.float32)
+        scale = jnp.exp(
+            jnp.minimum(self.logit_scale[...], math.log(100.0))
+        )
+        attn = attn * scale[None]
+
+        bias_table = self.cpb_fc2(jax.nn.relu(self.cpb_fc1(self.coords_table)))
+        bias = bias_table[self.rel_index.reshape(-1)].reshape(n, n, h)
+        bias = 16.0 * jax.nn.sigmoid(bias.transpose(2, 0, 1))
+        attn = attn + bias[None]
+
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(b // nw, nw, h, n, n) + mask[None, :, None]
+            attn = attn.reshape(b, h, n, n)
+
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        return self.proj(out)
+
+
+class SwinBlock(nnx.Module):
+    """SwinV2 block: res-post-norm window attention + MLP."""
+
+    def __init__(
+        self, dim: int, n_heads: int, window: int, shift: int,
+        input_hw: Tuple[int, int], dtype=None, *, rngs: nnx.Rngs,
+    ):
+        self.window = min(window, *input_hw)
+        self.shift = shift if self.window < min(input_hw) else 0
+        self.input_hw = input_hw
+        self.attn = WindowAttention(dim, self.window, n_heads, dtype, rngs=rngs)
+        self.norm1 = nnx.LayerNorm(dim, rngs=rngs)
+        self.norm2 = nnx.LayerNorm(dim, rngs=rngs)
+        self.fc1 = nnx.Linear(dim, 4 * dim, dtype=dtype, rngs=rngs)
+        self.fc2 = nnx.Linear(4 * dim, dim, dtype=dtype, rngs=rngs)
+        if self.shift > 0:
+            self.attn_mask = jnp.asarray(
+                _shift_attn_mask(*input_hw, self.window, self.shift)
+            )
+        else:
+            self.attn_mask = None
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (N, H, W, C)."""
+        n, h, w, c = x.shape
+        shortcut = x
+        if self.shift > 0:
+            x = jnp.roll(x, (-self.shift, -self.shift), axis=(1, 2))
+        wins = window_partition(x, self.window).reshape(
+            -1, self.window * self.window, c
+        )
+        wins = self.attn(wins, self.attn_mask)
+        x = window_reverse(
+            wins.reshape(-1, self.window, self.window, c), self.window, h, w
+        )
+        if self.shift > 0:
+            x = jnp.roll(x, (self.shift, self.shift), axis=(1, 2))
+        # residual-post-norm (the SwinV2 ordering)
+        x = shortcut + self.norm1(x.astype(jnp.float32)).astype(shortcut.dtype)
+        y = self.fc2(jax.nn.gelu(self.fc1(x)))
+        return x + self.norm2(y.astype(jnp.float32)).astype(x.dtype)
+
+
+class PatchMerging(nnx.Module):
+    def __init__(self, dim: int, dtype=None, *, rngs: nnx.Rngs):
+        self.reduction = nnx.Linear(4 * dim, 2 * dim, use_bias=False, dtype=dtype, rngs=rngs)
+        self.norm = nnx.LayerNorm(2 * dim, rngs=rngs)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        n, h, w, c = x.shape
+        x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+        x = self.reduction(x)
+        return self.norm(x.astype(jnp.float32)).astype(x.dtype)
+
+
+@dataclass(frozen=True)
+class SwinPreset:
+    img_size: int = 256
+    patch_size: int = 4
+    embed_dim: int = 128
+    depths: Sequence[int] = (2, 2, 18, 2)
+    heads: Sequence[int] = (4, 8, 16, 32)
+    window: int = 16
+
+
+SWIN_PRESETS = {
+    "swinv2_base": SwinPreset(),
+    "swinv2_tiny_test": SwinPreset(
+        img_size=64, patch_size=4, embed_dim=16, depths=(2, 2), heads=(2, 4),
+        window=4,
+    ),
+}
+
+
+class SwinV2Backbone(VideoBackboneModule):
+    """Hierarchical SwinV2 encoder producing a (H/32, W/32, 8*embed) map."""
+
+    def __init__(self, configs: Optional[TimmBackboneConfig] = None, *, rngs: nnx.Rngs):
+        configs = configs or TimmBackboneConfig()
+        self.configs = configs
+        name = configs.model_type or "swinv2_base"
+        lowered = name.lower()
+        if lowered in SWIN_PRESETS:
+            preset = SWIN_PRESETS[lowered]
+        elif "tiny_test" in lowered:
+            preset = SWIN_PRESETS["swinv2_tiny_test"]
+        else:
+            preset = SWIN_PRESETS["swinv2_base"]
+        self.preset = preset
+        self.train_backbone = configs.train_backbone
+        self.unfreeze = False
+        dtype = (
+            jnp.bfloat16
+            if getattr(configs, "compute_dtype", "float32") == "bfloat16"
+            else None
+        )
+        self.compute_dtype = dtype
+
+        p = preset
+        self.patch_embed = nnx.Conv(
+            3, p.embed_dim, kernel_size=(p.patch_size, p.patch_size),
+            strides=(p.patch_size, p.patch_size), padding="VALID",
+            dtype=dtype, rngs=rngs,
+        )
+        self.patch_norm = nnx.LayerNorm(p.embed_dim, rngs=rngs)
+
+        hw = p.img_size // p.patch_size
+        dim = p.embed_dim
+        stage_blocks = []
+        merges = {}
+        for si, (depth, heads) in enumerate(zip(p.depths, p.heads)):
+            blocks = []
+            for bi in range(depth):
+                shift = 0 if bi % 2 == 0 else min(p.window, hw) // 2
+                blocks.append(
+                    SwinBlock(
+                        dim, heads, p.window, shift, (hw, hw), dtype, rngs=rngs
+                    )
+                )
+            stage_blocks.append(nnx.List(blocks))
+            if si < len(p.depths) - 1:
+                merges[str(si)] = PatchMerging(dim, dtype, rngs=rngs)
+                dim *= 2
+                hw //= 2
+        self.stage_blocks = nnx.List(stage_blocks)
+        self.merges = nnx.Dict(merges)
+        self.merge_stages = tuple(merges.keys())
+        self.final_norm = nnx.LayerNorm(dim, rngs=rngs)
+        self._output_feature_shape = (hw, hw, dim)
+
+    @property
+    def output_feature_shape(self) -> Tuple[int, int, int]:
+        return self._output_feature_shape
+
+    def preprocess(self, images: jnp.ndarray) -> jnp.ndarray:
+        n, h, w, c = images.shape
+        if self.configs.pad_to_square and h != w:
+            side = max(h, w)
+            images = jnp.pad(images, ((0, 0), (0, side - h), (0, side - w), (0, 0)))
+        size = self.preset.img_size
+        if images.shape[1] != size or images.shape[2] != size:
+            images = jax.image.resize(images, (n, size, size, c), method="bilinear")
+        mean = jnp.asarray(IMAGENET_MEAN, dtype=images.dtype)
+        std = jnp.asarray(IMAGENET_STD, dtype=images.dtype)
+        return (images - mean) / std
+
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        x = self.preprocess(images)
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
+        x = self.patch_embed(x)
+        x = self.patch_norm(x.astype(jnp.float32)).astype(x.dtype)
+        for si, blocks in enumerate(self.stage_blocks):
+            for block in blocks:
+                x = block(x)
+            if str(si) in self.merge_stages:
+                x = self.merges[str(si)](x)
+        x = self.final_norm(x.astype(jnp.float32))
+        if not (self.train_backbone or self.unfreeze):
+            x = jax.lax.stop_gradient(x)
+        return x

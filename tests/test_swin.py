@@ -1,0 +1,99 @@
+"""Tests for the faithful SwinV2 backbone."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from flax import nnx
+
+from routeformer_tpu.models.video_backbone import SwinV2Backbone, TimmBackboneConfig
+from routeformer_tpu.models.video_backbone.swin import (
+    _shift_attn_mask,
+    window_partition,
+    window_reverse,
+)
+
+
+def tiny_cfg(**kw):
+    defaults = dict(
+        model_type="swinv2_tiny_test", cache_enabled=False,
+        compute_dtype="float32",
+    )
+    defaults.update(kw)
+    return TimmBackboneConfig(**defaults)
+
+
+class TestWindows:
+    def test_partition_roundtrip(self, rng):
+        x = jnp.asarray(rng.normal(size=(2, 8, 8, 3)).astype(np.float32))
+        wins = window_partition(x, 4)
+        assert wins.shape == (2 * 4, 4, 4, 3)
+        back = window_reverse(wins, 4, 8, 8)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+    def test_shift_mask_blocks_wrapped_regions(self):
+        mask = _shift_attn_mask(8, 8, 4, 2)
+        assert mask.shape == (4, 16, 16)
+        # the top-left window has no wrapping -> zero mask
+        np.testing.assert_array_equal(mask[0], 0.0)
+        # the bottom-right window mixes 4 regions -> some -100 entries
+        assert (mask[-1] == -100.0).any()
+
+
+class TestSwinV2Backbone:
+    def test_feature_shape_and_hierarchy(self, rng):
+        model = SwinV2Backbone(tiny_cfg(), rngs=nnx.Rngs(0))
+        model.eval()
+        # tiny preset: img 64, patch 4 -> 16; one merge -> 8; dims 16 -> 32
+        assert model.output_feature_shape == (8, 8, 32)
+        x = jnp.asarray(rng.uniform(size=(2, 48, 64, 3)).astype(np.float32))
+        out = model(x)
+        assert out.shape == (2, 8, 8, 32)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_frozen_by_default(self, rng):
+        model = SwinV2Backbone(tiny_cfg(), rngs=nnx.Rngs(0))
+        model.eval()
+        x = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)).astype(np.float32))
+        grads = nnx.grad(lambda m: (m(x) ** 2).mean())(model)
+        assert all(float(jnp.abs(g).max()) == 0.0 for g in jax.tree.leaves(grads))
+
+    def test_shift_changes_receptive_field(self, rng):
+        """With shifted windows, a pixel outside a window's patch must be
+        able to influence outputs across the window boundary (2 blocks)."""
+        model = SwinV2Backbone(tiny_cfg(), rngs=nnx.Rngs(0))
+        model.eval()
+        x = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)).astype(np.float32))
+        base = np.asarray(model(x))
+        # perturb a single input patch far from the (0,0) output cell's
+        # un-shifted window; cross-window mixing must propagate it
+        x2 = x.at[:, 40:44, 40:44, :].set(0.0)
+        pert = np.asarray(model(x2))
+        assert np.abs(base - pert)[0, 0, 0].max() > 0
+
+    def test_works_in_routeformer(self, rng):
+        from routeformer_tpu.models import RouteformerConfig
+        from routeformer_tpu.models.gps_backbone import GPSBackboneConfig
+        from routeformer_tpu.models.routeformer import Routeformer
+
+        gps_cfg = GPSBackboneConfig(
+            seq_len=40, label_len=40, pred_len=30, d_model=16, n_heads=4,
+            e_layers=1, d_layers=1, d_ff=32, factor=4, dropout=0.0,
+        )
+        cfg = RouteformerConfig(
+            gps_backbone_config=gps_cfg,
+            video_backbone_config=tiny_cfg(),
+            with_video=True, encoder_hidden_size=16, image_embedding_size=16,
+            encoder_heads=4, encoder_layers=1, encoder_d_ff=32,
+        )
+        model = Routeformer(
+            cfg, video_backbone=SwinV2Backbone, rngs=nnx.Rngs(0, dropout=1)
+        )
+        model.eval()
+        batch = {
+            "gps": jnp.asarray(rng.normal(size=(1, 40, 2)).astype(np.float32)),
+            "left_video": jnp.asarray(
+                rng.uniform(size=(1, 40, 24, 32, 3)).astype(np.float32)
+            ),
+        }
+        assert model(batch).shape == (1, 30, 2)
