@@ -160,3 +160,61 @@ class TestMeshTraining:
         single = run(None)
         dp = run(make_mesh(n_data=8, n_model=1))
         np.testing.assert_allclose(dp, single, rtol=1e-4)
+
+
+class TestMultimodalTraining:
+    def test_full_model_loss_decreases(self):
+        """End-to-end learning on the full multimodal model (video + gaze +
+        dense prediction) with the real training-loss composition."""
+        from routeformer_tpu.models.video_backbone import SwinV2, TimmBackboneConfig
+
+        gps_cfg = GPSBackboneConfig(
+            seq_len=SEQ_LEN, label_len=SEQ_LEN, pred_len=PRED_LEN,
+            d_model=32, n_heads=4, e_layers=1, d_layers=1, d_ff=64,
+            factor=4, dropout=0.0, activation="relu", distil=True,
+        )
+        cfg = RouteformerConfig(
+            gps_backbone_config=gps_cfg,
+            video_backbone_config=TimmBackboneConfig(
+                model_type="vit_tiny_test", cache_enabled=False,
+                compute_dtype="float32",
+            ),
+            with_video=True, with_gaze=True,
+            dense_prediction=True, dense_loss_ratio=0.5,
+            decoder_mode="smart", discount_factor={0: 0.97},
+            epsilon=None, visual_epsilon=None,
+            image_embedding_size=16, encoder_hidden_size=16,
+            encoder_heads=4, encoder_layers=1, encoder_d_ff=32,
+            cross_modal_decoder_heads=4, cross_modal_decoder_layers=1,
+            view_dropout=0.0, gaze_dropout=0.0, feature_dropout=0.0,
+            output_fps=5, video_fps=1, gaze_fps=1,
+        )
+        from routeformer_tpu.models.routeformer import Routeformer
+
+        model = Routeformer(
+            cfg, video_backbone=SwinV2, rngs=nnx.Rngs(0, dropout=1)
+        )
+        tx = build_optimizer(
+            learning_rate=2e-3, video_backbone_lr=None,
+            warmup_epochs=0, max_epochs=100, gradient_clip_val=2.5,
+        )
+        step_fn, params, state, opt_state = make_train_step(
+            model, tx, make_loss_fn(cfg)
+        )
+        data = to_jax(
+            synthetic_batch(
+                11, batch_size=4, seq_len=SEQ_LEN, pred_len=PRED_LEN,
+                with_video=True, with_gaze=True, frame_hw=(24, 32),
+            )
+        )
+        # epoch 20 -> dense loss active
+        losses = []
+        for _ in range(12):
+            params, state, opt_state, metrics = step_fn(
+                params, state, opt_state, data["train"], data["target"],
+                jnp.asarray(20),
+            )
+            losses.append(float(metrics["total_loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0] * 0.9, losses
+        assert np.isfinite(float(metrics["dense_loss"]))
