@@ -451,6 +451,50 @@ class DreyeveDataset:
             frames = pool.map(worker, list(frame_ids))
         return np.stack(frames, axis=0)  # THWC
 
+    def _read_video_frames(self, video_fpath, frame_ids, scaling_factor=1.0):
+        """Sequential container decode of specific frame indices
+        (the reference's use_frames=False path)."""
+        import cv2
+
+        wanted = sorted(set(int(i) for i in frame_ids))
+        cap = cv2.VideoCapture(str(video_fpath))
+        if not cap.isOpened():
+            raise FileNotFoundError(str(video_fpath))
+        frames = {}
+        try:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, wanted[0])
+            pos = wanted[0]
+            want_iter = iter(wanted)
+            next_want = next(want_iter)
+            while True:
+                ret, frame = cap.read()
+                if not ret:
+                    break
+                if pos == next_want:
+                    if scaling_factor != 1.0:
+                        frame = cv2.resize(
+                            frame,
+                            (
+                                int(frame.shape[1] * scaling_factor),
+                                int(frame.shape[0] * scaling_factor),
+                            ),
+                            interpolation=cv2.INTER_AREA,
+                        )
+                    frames[pos] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB).astype(
+                        np.uint8
+                    )
+                    try:
+                        next_want = next(want_iter)
+                    except StopIteration:
+                        break
+                pos += 1
+        finally:
+            cap.release()
+        missing = [i for i in frame_ids if int(i) not in frames]
+        if missing:
+            raise ValueError(f"frames {missing[:5]}... missing in {video_fpath}")
+        return np.stack([frames[int(i)] for i in frame_ids], axis=0)
+
     def _get_uncached_item(self, session_id, start_index, seq_length, fps_divisor):
         """(reference __get_uncached_item :1005-1114)"""
         md = self.metadata[session_id]
@@ -472,14 +516,26 @@ class DreyeveDataset:
             frame_ids_gar = list(md["frame_gar"][window])
             frame_ids_etg = list(md["frame_etg"][window])
             session = self.fs_sessions[session_id]
-            frames_gar = self._read_frames(
-                session.video_garmin_frames_fpath, frame_ids_gar,
-                self.gopro_scaling_factor,
-            )
-            frames_etg = self._read_frames(
-                session.video_etg_frames_fpath, frame_ids_etg,
-                self.front_scaling_factor,
-            )
+            if self.use_frames:
+                frames_gar = self._read_frames(
+                    session.video_garmin_frames_fpath, frame_ids_gar,
+                    self.gopro_scaling_factor,
+                )
+                frames_etg = self._read_frames(
+                    session.video_etg_frames_fpath, frame_ids_etg,
+                    self.front_scaling_factor,
+                )
+            else:
+                # decode directly from the .avi containers by frame index
+                # (reference :1073-1093)
+                frames_gar = self._read_video_frames(
+                    session.video_garmin_fpath, frame_ids_gar,
+                    self.gopro_scaling_factor,
+                )
+                frames_etg = self._read_video_frames(
+                    session.video_etg_fpath, frame_ids_etg,
+                    self.front_scaling_factor,
+                )
 
         train = {
             "gps": gps_data[: self.seq_length_input],

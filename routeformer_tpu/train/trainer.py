@@ -186,9 +186,10 @@ class ParallelTrainer:
                 self._eval_steps[name] = (gd, self._build_eval_step_from(gd))
             gd, step_fn = self._eval_steps[name]
 
-            # Reseed dropout/sampling stream for reproducible MC eval.
+            # Reseed dropout/sampling streams for reproducible MC eval
+            # (match_shape: scanned layer stacks carry stacked keys).
             model = nnx.merge(gd, self.params[name], self.states[name])
-            nnx.reseed(model, dropout=EVAL_SEED)
+            nnx.reseed(model, policy="match_shape", dropout=EVAL_SEED)
             _, p, s = nnx.split(model, nnx.Param, ...)
 
             losses, ades, fdes = step_fn(p, s, inp, target_gps, epoch)

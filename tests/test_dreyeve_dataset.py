@@ -135,3 +135,35 @@ class TestDreyeveDataset:
     def test_split_filtering(self, dreyeve_root):
         ds = make_dataset(dreyeve_root, with_video=False, split=[1])
         assert set(e["session_id"] for e in ds.data) == {1}
+
+
+class TestDreyeveAviDecode:
+    def test_use_frames_false(self, dreyeve_root, tmp_path):
+        """Direct container decode must match the exploded-jpeg path within
+        codec tolerance."""
+        import cv2
+
+        # build .avi files from the jpeg frames of session 1
+        base = dreyeve_root / "01"
+        for name, pattern in (
+            ("video_garmin.avi", base / "video_garmin_frames"),
+            ("video_etg.avi", base / "video_etg_frames"),
+        ):
+            files = sorted(pattern.glob("*.jpg"))
+            first = cv2.imread(str(files[0]))
+            writer = cv2.VideoWriter(
+                str(base / name), cv2.VideoWriter_fourcc(*"MJPG"), 30,
+                (first.shape[1], first.shape[0]),
+            )
+            assert writer.isOpened()
+            for f in files:
+                writer.write(cv2.imread(str(f)))
+            writer.release()
+
+        ds_frames = make_dataset(dreyeve_root, split=[1])
+        ds_avi = make_dataset(dreyeve_root, split=[1], use_frames=False)
+        a = ds_frames[0]["train"]["left_video"]
+        b = ds_avi[0]["train"]["left_video"]
+        assert a.shape == b.shape
+        # MJPG recompression: images close but not identical
+        assert np.abs(a.astype(np.float32) - b.astype(np.float32)).mean() < 0.05
