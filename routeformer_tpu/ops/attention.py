@@ -31,11 +31,22 @@ import jax.numpy as jnp
 _NEG_INF = -1e30
 
 
-def _use_flash(q, dropout_rate, deterministic, need_weights) -> bool:
+def _use_flash(q, k, dropout_rate, deterministic, need_weights) -> bool:
+    import os
+
     if need_weights or (dropout_rate > 0.0 and not deterministic):
         return False
-    # Trace-safe: the default backend is a Python-level global, valid both
-    # inside and outside jit (arrays can't be inspected while tracing).
+    mode = os.environ.get("ROUTEFORMER_FLASH", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return jax.default_backend() == "tpu"
+    # auto: the fused kernel wins once scores stop fitting VMEM comfortably;
+    # at the flagship's short lengths XLA's fused einsum attention measures
+    # ~6% faster end-to-end (docs/PERF.md), so dispatch flash for long
+    # sequences only. Shapes are static under trace.
+    if k.shape[1] < 512:
+        return False
     return jax.default_backend() == "tpu"
 
 
@@ -66,7 +77,9 @@ def dot_product_attention(
     scale = scale if scale is not None else 1.0 / math.sqrt(e)
 
     if impl == "flash" or (
-        impl == "auto" and bias is None and _use_flash(q, dropout_rate, deterministic, need_weights)
+        impl == "auto"
+        and bias is None
+        and _use_flash(q, k, dropout_rate, deterministic, need_weights)
     ):
         from routeformer_tpu.ops.flash_attention import flash_attention_bhle
 
@@ -142,7 +155,10 @@ def prob_sparse_attention(
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
 
-    # Sampled scores: for each query i, q_i . k_{sample[i, j]}.
+    # Sampled scores via a gathered-K einsum. (Measured against the
+    # alternative — one dense (B, H, L, L) score matmul reused for sampling
+    # and the top-u rows — the gather formulation is ~10% faster end-to-end
+    # at the flagship's shapes; see docs/PERF.md.)
     k_sampled = kt[:, :, index_sample, :]  # (B, H, L_q, U_part, E)
     qk_sample = jnp.einsum("bhle,bhlse->bhls", qt, k_sampled)
 
