@@ -76,6 +76,8 @@ GAZE_FPS = 1
 BATCH_SIZE = int(os.getenv("BATCH_SIZE", 16 if not DEBUG else 2))
 MODEL_SET = os.getenv("MODEL_SET", "full")  # full | gps | flagship
 STEP_SIZE_SECONDS = 2
+USE_PATCHTST_BACKBONE = os.getenv("USE_PATCHTST_BACKBONE", "0") == "1"
+LIMIT_TRAIN_BATCHES = float(os.getenv("LIMIT_TRAIN_BATCHES", 1))
 
 DISCOUNTED_FACTOR = (
     {0: 0.97, 100: 0.98, 200: 0.99}
@@ -179,10 +181,23 @@ def build_models(model_set: str = MODEL_SET):
     def rngs(i):
         return nnx.Rngs(i, dropout=1000 + i)
 
+    # USE_PATCHTST_BACKBONE swaps the flagship GPS backbone
+    # (reference full_comparison.py:154, 343-345)
+    if USE_PATCHTST_BACKBONE:
+        from routeformer_tpu.models.gps_backbone import PatchTST
+
+        flagship_backbone = PatchTST
+        flagship_gaze_cfg = ROUTEFORMER_CONFIG_SWINV2_GAZE.override(
+            gps_backbone_config=PATCHTST_BACKBONE_CONFIG
+        )
+    else:
+        flagship_backbone = Informer
+        flagship_gaze_cfg = ROUTEFORMER_CONFIG_SWINV2_GAZE
+
     models = {}
     if model_set in ("full", "flagship"):
         models["Routeformer_with_video_with_gaze_swinv2"] = Routeformer(
-            ROUTEFORMER_CONFIG_SWINV2_GAZE, gps_backbone=Informer,
+            flagship_gaze_cfg, gps_backbone=flagship_backbone,
             video_backbone=SwinV2, rngs=rngs(0),
         )
     if model_set == "full":
@@ -340,9 +355,17 @@ def main():
             for i in range(len(data)):
                 yield data[i]
 
+    max_train_batches = (
+        int(len(train_data) * LIMIT_TRAIN_BATCHES)
+        if LIMIT_TRAIN_BATCHES < 1
+        else None
+    )
+
     for epoch in range(EPOCHS):
         trainer.epoch = epoch
         for i, batch in enumerate(iter_batches(train_data, epoch)):
+            if max_train_batches is not None and i >= max_train_batches:
+                break
             batch = maybe_split_video(batch, split_video)
             metrics = trainer.training_step(batch)
             if i % 10 == 0:

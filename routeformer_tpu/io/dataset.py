@@ -105,6 +105,7 @@ class GEMDataset:
         output_format: str = "THWC",
         num_workers: int = 1,
         with_video: bool = True,
+        with_audio: bool = False,
         with_gaze: bool = True,
         mask_nonfixations: bool = False,
         dilution_threshold: float = 500.0,
@@ -129,6 +130,15 @@ class GEMDataset:
         self.frame_transform = frame_transform
         self.video_transform = video_transform
         self.with_video = with_video
+        if with_audio:
+            # The reference decodes AAC through PyAV (dataset.py:2201-2278);
+            # no audio codec exists in this environment, and no model in the
+            # reference consumes audio.
+            raise NotImplementedError(
+                "with_audio is not supported (no audio decoder available; "
+                "the reference's models never consume audio)"
+            )
+        self.with_audio = with_audio
         self.with_gaze = with_gaze
         self.mask_nonfixations = mask_nonfixations
         self.dilution_threshold = dilution_threshold
