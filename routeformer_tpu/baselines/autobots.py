@@ -15,8 +15,6 @@ existence masks are constant no-ops and are folded away.
 """
 
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import nnx

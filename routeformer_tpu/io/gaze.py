@@ -14,7 +14,7 @@ reuse it; cv2 remains only a test oracle.
 
 import enum
 from collections import deque
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
 from scipy.spatial.distance import pdist

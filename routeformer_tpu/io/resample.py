@@ -14,7 +14,7 @@ Capability parity with the reference's GPS resampling
   implemented with scipy's smoothing spline (csaps is not available here).
 """
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

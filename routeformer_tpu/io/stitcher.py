@@ -13,7 +13,7 @@ with the same MAGSAC-robust homography estimation. The warp itself runs
 through this framework's device remap kernel.
 """
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

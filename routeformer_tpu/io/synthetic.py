@@ -17,7 +17,7 @@ pipelines live in ``io/dataset.py`` / ``io/dataset_dreyeve.py``.
 """
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

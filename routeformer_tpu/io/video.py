@@ -12,8 +12,6 @@ Errors degrade to empty arrays with a warning, matching the reference's
 fault tolerance (dataset.py:2156-2159, 2330-2333).
 """
 
-import math
-from pathlib import Path
 from typing import Dict, Optional
 
 import numpy as np

@@ -20,15 +20,12 @@ TSTEncoder:272, _MultiheadAttention:448 with residual-attention scores;
 """
 
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import nnx
 
 from routeformer_tpu.models.gps_backbone.config import PatchTSTBackboneConfig
 from routeformer_tpu.models.gps_backbone.linear import series_decomp
-from routeformer_tpu.ops.attention import dot_product_attention
 
 
 class RevIN(nnx.Module):

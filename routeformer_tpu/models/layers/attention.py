@@ -24,7 +24,6 @@ All modules honor nnx ``train()``/``eval()`` via ``deterministic`` flags.
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 from flax import nnx
 
 from routeformer_tpu.ops.attention import (

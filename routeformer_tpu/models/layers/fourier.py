@@ -11,8 +11,6 @@ einsum, scattered back with one ``.at[].set`` — no per-mode loop in the
 compiled program. Complex weights are stored as real/imag float params.
 """
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

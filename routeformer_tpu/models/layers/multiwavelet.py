@@ -29,8 +29,6 @@ Complex Fourier weights are stored as separate real/imag float32 params
 
 import math
 from functools import lru_cache
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -14,7 +14,7 @@ callers (e.g. the camera model's image undistort).
 """
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

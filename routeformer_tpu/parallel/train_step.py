@@ -11,11 +11,9 @@ Epoch enters as a traced scalar (discount schedule, dense-loss activation),
 so one compiled program covers the entire 200-epoch schedule.
 """
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
 import optax
 from flax import nnx
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -10,7 +10,7 @@ resume path the reference lacks (SURVEY §5).
 
 import json
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import numpy as np
