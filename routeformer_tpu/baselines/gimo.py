@@ -61,7 +61,7 @@ class PositionwiseFeedForward(nnx.Module):
         self.dropout = nnx.Dropout(dropout, rngs=rngs)
 
     def __call__(self, x):
-        return x + self.dropout(self.w2(jax.nn.gelu(self.w1(x))))
+        return x + self.dropout(self.w2(jax.nn.gelu(self.w1(x), approximate=False)))
 
 
 class SelfAttentionLayer(nnx.Module):

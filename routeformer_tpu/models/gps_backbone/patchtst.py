@@ -139,7 +139,11 @@ class TSTEncoderLayer(nnx.Module):
 
         self.ff1 = nnx.Linear(d_model, d_ff, rngs=rngs)
         self.ff2 = nnx.Linear(d_ff, d_model, rngs=rngs)
-        self.activation = jax.nn.gelu if activation == "gelu" else jax.nn.relu
+        self.activation = (
+            (lambda x: jax.nn.gelu(x, approximate=False))
+            if activation == "gelu"
+            else jax.nn.relu
+        )
 
     def _attention(self, src, prev):
         b, l, _ = src.shape

@@ -162,7 +162,11 @@ class AutoformerEncoderLayer(nnx.Module):
         self.decomp1 = _make_decomp(moving_avg, rngs)
         self.decomp2 = _make_decomp(moving_avg, rngs)
         self.dropout = nnx.Dropout(dropout, rngs=rngs)
-        self.activation = jax.nn.relu if activation == "relu" else jax.nn.gelu
+        self.activation = (
+            jax.nn.relu
+            if activation == "relu"
+            else (lambda x: jax.nn.gelu(x, approximate=False))
+        )
 
     def __call__(self, x, attn_mask=None):
         new_x, attn = self.attention(x, x, x, attn_mask=attn_mask)
@@ -231,7 +235,11 @@ class AutoformerDecoderLayer(nnx.Module):
             d_model, c_out, kernel_size=3, padding="CIRCULAR", use_bias=False,
             rngs=rngs,
         )
-        self.activation = jax.nn.relu if activation == "relu" else jax.nn.gelu
+        self.activation = (
+            jax.nn.relu
+            if activation == "relu"
+            else (lambda x: jax.nn.gelu(x, approximate=False))
+        )
 
     def __call__(self, x, cross, x_mask=None, cross_mask=None):
         x = x + self.dropout(self.self_attention(x, x, x, attn_mask=x_mask)[0])

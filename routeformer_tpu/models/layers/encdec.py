@@ -23,7 +23,10 @@ from flax import nnx
 
 
 def _activation(name: str) -> Callable:
-    return jax.nn.relu if name == "relu" else jax.nn.gelu
+    if name == "relu":
+        return jax.nn.relu
+    # torch F.gelu default is the exact erf form; jax defaults to tanh
+    return lambda x: jax.nn.gelu(x, approximate=False)
 
 
 class ConvLayer(nnx.Module):

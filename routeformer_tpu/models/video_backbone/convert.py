@@ -99,6 +99,62 @@ def load_torch_state_dict(
     return loaded, len(flat)
 
 
+def load_timm_vit(backbone, state_dict: Dict[str, np.ndarray]) -> int:
+    """Load a timm-style ViT state dict into a (scanned) ``TimmBackbone``.
+
+    timm layout: ``patch_embed.proj.{weight,bias}``, ``pos_embed``,
+    ``blocks.{i}.norm1/attn.qkv/attn.proj/norm2/mlp.fc1/mlp.fc2``, ``norm``.
+    The backbone's blocks are *stacked* (params carry a leading depth axis
+    for ``nnx.scan``), so per-layer torch tensors are gathered and stacked.
+
+    Returns the number of parameters loaded.
+    """
+    sd = {k: _to_numpy(v) for k, v in state_dict.items()}
+    depth = backbone.depth
+    loaded = 0
+
+    def put(variable, arr):
+        nonlocal loaded
+        arr = np.asarray(arr)
+        assert arr.shape == tuple(variable.shape), (arr.shape, variable.shape)
+        variable[...] = arr.astype(np.asarray(variable[...]).dtype)
+        loaded += 1
+
+    # patch embed: torch Conv2d OIHW -> flax HWIO
+    put(backbone.patch_embed.kernel,
+        sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0))
+    put(backbone.patch_embed.bias, sd["patch_embed.proj.bias"])
+    pos = sd["pos_embed"]
+    if pos.shape[1] == backbone.pos_embed.shape[1] + 1:
+        pos = pos[:, 1:]  # drop the cls token position
+    put(backbone.pos_embed, pos)
+    put(backbone.norm.scale, sd["norm.weight"])
+    put(backbone.norm.bias, sd["norm.bias"])
+
+    def stack(fmt: str, transpose: bool = False):
+        arrs = [sd[fmt.format(i)] for i in range(depth)]
+        if transpose:
+            arrs = [a.T for a in arrs]
+        return np.stack(arrs)
+
+    blocks = backbone.blocks
+    put(blocks.norm1.scale, stack("blocks.{}.norm1.weight"))
+    put(blocks.norm1.bias, stack("blocks.{}.norm1.bias"))
+    put(blocks.norm2.scale, stack("blocks.{}.norm2.weight"))
+    put(blocks.norm2.bias, stack("blocks.{}.norm2.bias"))
+    put(blocks.qkv.kernel, stack("blocks.{}.attn.qkv.weight", transpose=True))
+    put(blocks.qkv.bias, stack("blocks.{}.attn.qkv.bias"))
+    put(blocks.proj.kernel, stack("blocks.{}.attn.proj.weight", transpose=True))
+    put(blocks.proj.bias, stack("blocks.{}.attn.proj.bias"))
+    put(blocks.fc1.kernel, stack("blocks.{}.mlp.fc1.weight", transpose=True))
+    put(blocks.fc1.bias, stack("blocks.{}.mlp.fc1.bias"))
+    put(blocks.fc2.kernel, stack("blocks.{}.mlp.fc2.weight", transpose=True))
+    put(blocks.fc2.bias, stack("blocks.{}.mlp.fc2.bias"))
+
+    logger.info("loaded %d ViT params (depth %d)", loaded, depth)
+    return loaded
+
+
 def load_torch_checkpoint(module: nnx.Module, path, fuzzy: bool = True):
     """Load a ``.pth``/``.pt`` file (or a pickled numpy dict) into a module."""
     import pickle

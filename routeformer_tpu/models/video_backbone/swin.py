@@ -175,7 +175,7 @@ class SwinBlock(nnx.Module):
             x = jnp.roll(x, (self.shift, self.shift), axis=(1, 2))
         # residual-post-norm (the SwinV2 ordering)
         x = shortcut + self.norm1(x.astype(jnp.float32)).astype(shortcut.dtype)
-        y = self.fc2(jax.nn.gelu(self.fc1(x)))
+        y = self.fc2(jax.nn.gelu(self.fc1(x), approximate=False))
         return x + self.norm2(y.astype(jnp.float32)).astype(x.dtype)
 
 

@@ -84,7 +84,7 @@ class ViTBlock(nnx.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         attn, _ = dot_product_attention(q, k, v)
         x = x + self.proj(attn.reshape(b, n, c))
-        x = x + self.fc2(jax.nn.gelu(self.fc1(self.norm2(x))))
+        x = x + self.fc2(jax.nn.gelu(self.fc1(self.norm2(x)), approximate=False))
         return x
 
 
