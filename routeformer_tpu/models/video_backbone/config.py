@@ -53,6 +53,11 @@ class TimmBackboneConfig(VideoBackboneConfig):
     # the TPU-native choice and plays the role of the reference's autocast
     # (TimmBackbone.py:132).
     compute_dtype: str = "bfloat16"
+    # Rematerialize encoder blocks in the backward pass: activations inside
+    # each block are recomputed instead of stored, trading FLOPs for HBM —
+    # lets much larger frame batches fit when the backbone is trained
+    # (train_backbone/unfreeze). No effect on frozen (stop_gradient) use.
+    remat: bool = False
 
 
 @dataclass

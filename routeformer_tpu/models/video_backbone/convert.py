@@ -155,6 +155,90 @@ def load_timm_vit(backbone, state_dict: Dict[str, np.ndarray]) -> int:
     return loaded
 
 
+def load_timm_swin(backbone, state_dict: Dict[str, np.ndarray]) -> int:
+    """Load a timm-style SwinV2 state dict into a ``SwinV2Backbone``.
+
+    timm layout: ``patch_embed.proj/norm``, per stage
+    ``layers.{s}.blocks.{b}.{norm1,norm2,attn.qkv,attn.q_bias,attn.v_bias,
+    attn.logit_scale,attn.cpb_mlp.{0,2},attn.proj,mlp.fc1,mlp.fc2}``,
+    ``layers.{s}.downsample.{reduction,norm}`` and a final ``norm``.
+
+    The backbone's blocks are stacked W-MSA/SW-MSA *pairs* (leading n_pairs
+    axis for ``nnx.scan``): timm block ``2p`` -> ``pairs.block_a[p]``, block
+    ``2p+1`` -> ``pairs.block_b[p]``.
+
+    Patch-merging layout note: this build flattens each 2x2 patch group in
+    (dh, dw) row-major order, timm/MSFT concat [x0, x1, x2, x3] =
+    [(0,0), (1,0), (0,1), (1,1)] — the reduction kernel's input groups are
+    permuted [0, 2, 1, 3] to compensate.
+
+    Returns the number of parameters loaded.
+    """
+    sd = {k: _to_numpy(v) for k, v in state_dict.items()}
+    loaded = 0
+
+    def put(variable, arr):
+        nonlocal loaded
+        arr = np.asarray(arr)
+        assert arr.shape == tuple(variable.shape), (arr.shape, variable.shape)
+        variable[...] = arr.astype(np.asarray(variable[...]).dtype)
+        loaded += 1
+
+    put(backbone.patch_embed.kernel,
+        sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0))
+    put(backbone.patch_embed.bias, sd["patch_embed.proj.bias"])
+    put(backbone.patch_norm.scale, sd["patch_embed.norm.weight"])
+    put(backbone.patch_norm.bias, sd["patch_embed.norm.bias"])
+    put(backbone.final_norm.scale, sd["norm.weight"])
+    put(backbone.final_norm.bias, sd["norm.bias"])
+
+    for si, stage in enumerate(backbone.stages):
+        pairs = stage.pairs
+        for half, block in (("a", pairs.block_a), ("b", pairs.block_b)):
+            offset = 0 if half == "a" else 1
+
+            def stack(fmt: str, transpose: bool = False):
+                arrs = [
+                    sd[f"layers.{si}.blocks.{2 * p + offset}.{fmt}"]
+                    for p in range(stage.n_pairs)
+                ]
+                if transpose:
+                    arrs = [a.T for a in arrs]
+                return np.stack(arrs)
+
+            put(block.norm1.scale, stack("norm1.weight"))
+            put(block.norm1.bias, stack("norm1.bias"))
+            put(block.norm2.scale, stack("norm2.weight"))
+            put(block.norm2.bias, stack("norm2.bias"))
+            attn = block.attn
+            put(attn.qkv.kernel, stack("attn.qkv.weight", transpose=True))
+            put(attn.q_bias, stack("attn.q_bias"))
+            put(attn.v_bias, stack("attn.v_bias"))
+            put(attn.logit_scale, stack("attn.logit_scale"))
+            put(attn.proj.kernel, stack("attn.proj.weight", transpose=True))
+            put(attn.proj.bias, stack("attn.proj.bias"))
+            put(attn.cpb_fc1.kernel, stack("attn.cpb_mlp.0.weight", transpose=True))
+            put(attn.cpb_fc1.bias, stack("attn.cpb_mlp.0.bias"))
+            put(attn.cpb_fc2.kernel, stack("attn.cpb_mlp.2.weight", transpose=True))
+            put(block.fc1.kernel, stack("mlp.fc1.weight", transpose=True))
+            put(block.fc1.bias, stack("mlp.fc1.bias"))
+            put(block.fc2.kernel, stack("mlp.fc2.weight", transpose=True))
+            put(block.fc2.bias, stack("mlp.fc2.bias"))
+
+        key = str(si)
+        if key in backbone.merge_stages:
+            merge = backbone.merges[key]
+            red = sd[f"layers.{si}.downsample.reduction.weight"]  # (2C, 4C)
+            c = red.shape[1] // 4
+            red = red.reshape(red.shape[0], 4, c)[:, (0, 2, 1, 3), :]
+            put(merge.reduction.kernel, red.reshape(red.shape[0], 4 * c).T)
+            put(merge.norm.scale, sd[f"layers.{si}.downsample.norm.weight"])
+            put(merge.norm.bias, sd[f"layers.{si}.downsample.norm.bias"])
+
+    logger.info("loaded %d SwinV2 params", loaded)
+    return loaded
+
+
 def load_torch_checkpoint(module: nnx.Module, path, fuzzy: bool = True):
     """Load a ``.pth``/``.pt`` file (or a pickled numpy dict) into a module."""
     import pickle

@@ -147,8 +147,9 @@ class SwinBlock(nnx.Module):
         self.shift = shift if self.window < min(input_hw) else 0
         self.input_hw = input_hw
         self.attn = WindowAttention(dim, self.window, n_heads, dtype, rngs=rngs)
-        self.norm1 = nnx.LayerNorm(dim, rngs=rngs)
-        self.norm2 = nnx.LayerNorm(dim, rngs=rngs)
+        # timm/torch SwinV2 LayerNorm eps (torch default 1e-5; nnx default 1e-6)
+        self.norm1 = nnx.LayerNorm(dim, epsilon=1e-5, rngs=rngs)
+        self.norm2 = nnx.LayerNorm(dim, epsilon=1e-5, rngs=rngs)
         self.fc1 = nnx.Linear(dim, 4 * dim, dtype=dtype, rngs=rngs)
         self.fc2 = nnx.Linear(4 * dim, dim, dtype=dtype, rngs=rngs)
         if self.shift > 0:
@@ -179,10 +180,69 @@ class SwinBlock(nnx.Module):
         return x + self.norm2(y.astype(jnp.float32)).astype(x.dtype)
 
 
+class SwinBlockPair(nnx.Module):
+    """One W-MSA + SW-MSA block pair — the unit Swin repeats.
+
+    Pairing keeps the scanned body uniform: every even block has shift 0 and
+    every odd block has shift window//2, so a stage of depth D is D/2
+    identical pair-bodies under ``nnx.scan``.
+    """
+
+    def __init__(
+        self, dim: int, n_heads: int, window: int,
+        input_hw: Tuple[int, int], dtype=None, *, rngs: nnx.Rngs,
+    ):
+        shift = min(window, *input_hw) // 2
+        self.block_a = SwinBlock(dim, n_heads, window, 0, input_hw, dtype, rngs=rngs)
+        self.block_b = SwinBlock(dim, n_heads, window, shift, input_hw, dtype, rngs=rngs)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.block_b(self.block_a(x))
+
+
+class SwinStage(nnx.Module):
+    """A stack of block pairs applied with ``nnx.scan``.
+
+    The XLA program contains ONE pair body per stage instead of ``depth``
+    block call-sites — the same compile-size lever as the scanned ViT
+    (vit.py); SwinV2-base stage 3 drops from 18 inlined blocks to 1 body.
+    """
+
+    def __init__(
+        self, dim: int, n_heads: int, window: int, depth: int,
+        input_hw: Tuple[int, int], dtype=None, remat: bool = False,
+        *, rngs: nnx.Rngs,
+    ):
+        if depth % 2 != 0:
+            raise ValueError(f"Swin stage depth must be even, got {depth}")
+        self.n_pairs = depth // 2
+        self.remat = remat
+
+        @nnx.split_rngs(splits=self.n_pairs)
+        @nnx.vmap(in_axes=(0,), out_axes=0)
+        def create_pairs(pair_rngs):
+            return SwinBlockPair(dim, n_heads, window, input_hw, dtype, rngs=pair_rngs)
+
+        self.pairs = create_pairs(rngs)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.remat:
+            @nnx.scan(in_axes=(0, nnx.Carry), out_axes=nnx.Carry)
+            def run_pairs(pair, x):
+                return nnx.remat(SwinBlockPair.__call__)(pair, x)
+
+        else:
+            @nnx.scan(in_axes=(0, nnx.Carry), out_axes=nnx.Carry)
+            def run_pairs(pair, x):
+                return pair(x)
+
+        return run_pairs(self.pairs, x)
+
+
 class PatchMerging(nnx.Module):
     def __init__(self, dim: int, dtype=None, *, rngs: nnx.Rngs):
         self.reduction = nnx.Linear(4 * dim, 2 * dim, use_bias=False, dtype=dtype, rngs=rngs)
-        self.norm = nnx.LayerNorm(2 * dim, rngs=rngs)
+        self.norm = nnx.LayerNorm(2 * dim, epsilon=1e-5, rngs=rngs)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         n, h, w, c = x.shape
@@ -241,30 +301,27 @@ class SwinV2Backbone(VideoBackboneModule):
             strides=(p.patch_size, p.patch_size), padding="VALID",
             dtype=dtype, rngs=rngs,
         )
-        self.patch_norm = nnx.LayerNorm(p.embed_dim, rngs=rngs)
+        self.patch_norm = nnx.LayerNorm(p.embed_dim, epsilon=1e-5, rngs=rngs)
 
         hw = p.img_size // p.patch_size
         dim = p.embed_dim
-        stage_blocks = []
+        stages = []
         merges = {}
         for si, (depth, heads) in enumerate(zip(p.depths, p.heads)):
-            blocks = []
-            for bi in range(depth):
-                shift = 0 if bi % 2 == 0 else min(p.window, hw) // 2
-                blocks.append(
-                    SwinBlock(
-                        dim, heads, p.window, shift, (hw, hw), dtype, rngs=rngs
-                    )
+            stages.append(
+                SwinStage(
+                    dim, heads, p.window, depth, (hw, hw), dtype,
+                    remat=getattr(configs, "remat", False), rngs=rngs,
                 )
-            stage_blocks.append(nnx.List(blocks))
+            )
             if si < len(p.depths) - 1:
                 merges[str(si)] = PatchMerging(dim, dtype, rngs=rngs)
                 dim *= 2
                 hw //= 2
-        self.stage_blocks = nnx.List(stage_blocks)
+        self.stages = nnx.List(stages)
         self.merges = nnx.Dict(merges)
         self.merge_stages = tuple(merges.keys())
-        self.final_norm = nnx.LayerNorm(dim, rngs=rngs)
+        self.final_norm = nnx.LayerNorm(dim, epsilon=1e-5, rngs=rngs)
         self._output_feature_shape = (hw, hw, dim)
 
     @property
@@ -289,9 +346,8 @@ class SwinV2Backbone(VideoBackboneModule):
             x = x.astype(self.compute_dtype)
         x = self.patch_embed(x)
         x = self.patch_norm(x.astype(jnp.float32)).astype(x.dtype)
-        for si, blocks in enumerate(self.stage_blocks):
-            for block in blocks:
-                x = block(x)
+        for si, stage in enumerate(self.stages):
+            x = stage(x)
             if str(si) in self.merge_stages:
                 x = self.merges[str(si)](x)
         x = self.final_norm(x.astype(jnp.float32))

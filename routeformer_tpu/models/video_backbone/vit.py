@@ -178,9 +178,18 @@ class TimmBackbone(VideoBackboneModule):
         n, gh, gw, c = x.shape
         x = x.reshape(n, gh * gw, c) + self.pos_embed[...].astype(x.dtype)
 
-        @nnx.scan(in_axes=(0, nnx.Carry), out_axes=nnx.Carry)
-        def run_blocks(block, x):
-            return block(x)
+        if getattr(self.configs, "remat", False):
+            # One block of activations lives at a time in the backward pass;
+            # the rest are recomputed (scan-over-layers + remat = O(1) layer
+            # memory, the standard TPU trade for training large encoders).
+            @nnx.scan(in_axes=(0, nnx.Carry), out_axes=nnx.Carry)
+            def run_blocks(block, x):
+                return nnx.remat(ViTBlock.__call__)(block, x)
+
+        else:
+            @nnx.scan(in_axes=(0, nnx.Carry), out_axes=nnx.Carry)
+            def run_blocks(block, x):
+                return block(x)
 
         x = run_blocks(self.blocks, x)
         x = self.norm(x.astype(jnp.float32))

@@ -97,3 +97,32 @@ class TestSwinV2Backbone:
             ),
         }
         assert model(batch).shape == (1, 30, 2)
+
+
+class TestScanAndRemat:
+    def test_odd_stage_depth_rejected(self):
+        from routeformer_tpu.models.video_backbone.swin import SwinStage
+
+        with pytest.raises(ValueError, match="even"):
+            SwinStage(16, 2, 4, 3, (8, 8), rngs=nnx.Rngs(0))
+
+    def test_remat_matches_plain_gradients(self, rng):
+        """remat only changes the memory/recompute schedule, not the math."""
+        x = jnp.asarray(rng.uniform(size=(2, 48, 64, 3)).astype(np.float32))
+
+        def grads(remat):
+            cfg = tiny_cfg(train_backbone=True, cache_enabled=False, remat=remat)
+            model = SwinV2Backbone(cfg, rngs=nnx.Rngs(0))
+
+            def loss_fn(m):
+                return jnp.sum(m(x) ** 2)
+
+            return nnx.grad(loss_fn)(model)
+
+        g_plain = grads(False)
+        g_remat = grads(True)
+        flat_plain = jax.tree.leaves(g_plain)
+        flat_remat = jax.tree.leaves(g_remat)
+        assert len(flat_plain) == len(flat_remat)
+        for a, b in zip(flat_plain, flat_remat):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

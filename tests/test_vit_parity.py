@@ -114,3 +114,30 @@ class TestViTParity:
             sd["pos_embed"][:, 1:].numpy(),
             atol=1e-6,
         )
+
+
+def test_vit_remat_matches_plain_gradients():
+    """ViT remat path: identical gradients, different schedule."""
+    import jax
+    from routeformer_tpu.models.video_backbone import TimmBackbone, TimmBackboneConfig
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.uniform(size=(2, 48, 64, 3)).astype(np.float32))
+
+    def grads(remat):
+        cfg = TimmBackboneConfig(
+            model_type="vit_tiny_test", cache_enabled=False,
+            compute_dtype="float32", train_backbone=True, remat=remat,
+        )
+        model = TimmBackbone(cfg, rngs=nnx.Rngs(0))
+
+        def loss_fn(m):
+            return jnp.sum(m(x) ** 2)
+
+        return nnx.grad(loss_fn)(model)
+
+    flat_plain = jax.tree.leaves(grads(False))
+    flat_remat = jax.tree.leaves(grads(True))
+    assert len(flat_plain) == len(flat_remat)
+    for a, b in zip(flat_plain, flat_remat):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
