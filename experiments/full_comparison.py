@@ -347,6 +347,30 @@ def main():
         and Path(DATASET_DIR).exists()
     )
 
+    # USE_EMBEDDING_CACHE=1 (flagship set only — baselines consume pixels):
+    # swap pixel streams for cached frozen-backbone feature maps host-side,
+    # so steady-state steps compile WITHOUT the video backbone (the
+    # torchcache steady state, reference video_backbone/__init__.py:14-31).
+    precompute = None
+    if (
+        os.getenv("USE_EMBEDDING_CACHE", "0") == "1"
+        and MODEL_SET == "flagship"
+        and with_video
+    ):
+        from routeformer_tpu.models.video_backbone.cache import (
+            VideoFeaturePrecomputer,
+        )
+
+        precompute = VideoFeaturePrecomputer(next(iter(models.values())))
+
+    def prepare(batch):
+        batch = maybe_split_video(batch, split_video)
+        if precompute is not None:
+            batch = dict(batch)
+            batch["train"] = precompute(batch["train"])
+            batch["target"] = precompute(batch["target"])
+        return batch
+
     def iter_batches(data, epoch):
         if hasattr(data, "set_epoch"):  # DataLoader
             data.set_epoch(epoch)
@@ -366,15 +390,13 @@ def main():
         for i, batch in enumerate(iter_batches(train_data, epoch)):
             if max_train_batches is not None and i >= max_train_batches:
                 break
-            batch = maybe_split_video(batch, split_video)
+            batch = prepare(batch)
             metrics = trainer.training_step(batch)
             if i % 10 == 0:
                 metrics_logger.log(metrics, epoch * len(train_data) + i, "train")
         val_metrics = {}
         for batch in iter_batches(val_data, epoch):
-            val_metrics = trainer.eval_step(
-                maybe_split_video(batch, split_video), "val"
-            )
+            val_metrics = trainer.eval_step(prepare(batch), "val")
         metrics_logger.log(val_metrics, epoch, "val")
         ckpt.maybe_save(trainer, val_metrics, epoch)
         print(

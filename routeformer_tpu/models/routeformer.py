@@ -387,10 +387,24 @@ class Routeformer(nnx.Module):
 
     def _forward_video(self, batch: dict, training: bool):
         """Left/right scene features on the output-fps timeline
-        (reference routeformer.py:397-461)."""
-        left = batch["left_video"]
-        right = batch.get("right_video", left)
-        has_right = "right_video" in batch
+        (reference routeformer.py:397-461).
+
+        Accepts either pixel streams (``left_video``/``right_video``) or
+        precomputed frozen-backbone feature maps
+        (``left_video_features``/``right_video_features``, full timeline —
+        see ``video_backbone.cache.VideoFeaturePrecomputer``), the
+        torchcache role: cache hits keep the backbone out of the compiled
+        step entirely.
+        """
+        precomputed = "left_video_features" in batch
+        if precomputed:
+            left = batch["left_video_features"]
+            right = batch.get("right_video_features", left)
+            has_right = "right_video_features" in batch
+        else:
+            left = batch["left_video"]
+            right = batch.get("right_video", left)
+            has_right = "right_video" in batch
 
         # View dropout (traced decisions; features masked, not skipped).
         if self.view_dropout > 0.0 and training:
@@ -418,8 +432,12 @@ class Routeformer(nnx.Module):
         left = left.reshape((-1,) + left.shape[2:])
         right = right.reshape((-1,) + right.shape[2:])
 
-        right_features = self._forward_single_video(right, drop_right, training)
-        left_features = self._forward_single_video(left, drop_left, training)
+        right_features = self._forward_single_video(
+            right, drop_right, training, precomputed=precomputed
+        )
+        left_features = self._forward_single_video(
+            left, drop_left, training, precomputed=precomputed
+        )
 
         left_features = left_features.reshape(batch_size, -1, left_features.shape[-1])
         right_features = right_features.reshape(
@@ -435,12 +453,16 @@ class Routeformer(nnx.Module):
 
         return scatter(left_features), scatter(right_features)
 
-    def _forward_single_video(self, video, drop, training: bool):
+    def _forward_single_video(self, video, drop, training: bool, precomputed=False):
         """One view's per-frame embedding (reference routeformer.py:463-491).
 
-        video: flattened frames (N, H, W, C); drop: traced bool.
+        video: flattened frames (N, H, W, C), or the backbone's feature maps
+        (N, H', W', C') when ``precomputed``; drop: traced bool.
         """
-        features = self.video_backbone(video)  # (N, H', W', C')
+        if precomputed:
+            features = video.astype(jnp.float32)
+        else:
+            features = self.video_backbone(video)  # (N, H', W', C')
         n = features.shape[0]
         tokens = features.reshape(n, -1, features.shape[-1])
         tokens = jnp.concatenate(
@@ -454,7 +476,8 @@ class Routeformer(nnx.Module):
 
     def _forward_gaze_video(self, batch: dict, training: bool):
         """Front (gaze-camera) video features (reference routeformer.py:493-533)."""
-        video = batch["front_video"]
+        precomputed = "front_video_features" in batch
+        video = batch["front_video_features"] if precomputed else batch["front_video"]
         relative_fps = self.configs.output_fps // self.configs.gaze_fps
         assert relative_fps > 0, "Gaze FPS must be a divisor of the output FPS"
         original_video_length = video.shape[1]
@@ -463,7 +486,9 @@ class Routeformer(nnx.Module):
 
         batch_size = video.shape[0]
         video = video.reshape((-1,) + video.shape[2:])
-        features = self._forward_single_video(video, jnp.asarray(False), training)
+        features = self._forward_single_video(
+            video, jnp.asarray(False), training, precomputed=precomputed
+        )
         features = features.reshape(batch_size, -1, features.shape[-1])
 
         full = jnp.zeros(

@@ -121,6 +121,52 @@ def module_content_hash(module) -> str:
     return h.hexdigest()
 
 
+class VideoFeaturePrecomputer:
+    """Host-side batch transform: pixel streams -> cached backbone features.
+
+    Replaces ``left_video``/``right_video``/``front_video`` with
+    ``*_video_features`` (full-timeline feature maps, zeros at frames the
+    model's fps subsampling never reads — it extracts exactly the computed
+    positions). Steady-state epochs then run a train step with NO backbone
+    in the compiled program — the torchcache steady state (reference
+    video_backbone/__init__.py:14-31) — and every skipped frame is a saved
+    backbone forward.
+
+    Only valid for a frozen backbone (cache invariant; enforced by the
+    config post-init).
+    """
+
+    def __init__(self, model):
+        self.configs = model.configs
+        self.backbone = CachedBackbone(
+            model.video_backbone, model.video_backbone.configs
+        )
+
+    def __call__(self, batch: dict) -> dict:
+        from routeformer_tpu.models.routeformer import _fps_subsample_indices
+
+        out = dict(batch)
+        specs = (
+            ("left_video", self.configs.video_fps),
+            ("right_video", self.configs.video_fps),
+            ("front_video", self.configs.gaze_fps),
+        )
+        for key, fps in specs:
+            if key not in batch:
+                continue
+            pixels = np.asarray(batch[key])
+            b, t = pixels.shape[:2]
+            idx = _fps_subsample_indices(t, self.configs.output_fps // fps)
+            frames = pixels[:, idx].reshape((-1,) + pixels.shape[2:])
+            feats = self.backbone(frames)
+            feats = feats.reshape((b, len(idx)) + feats.shape[1:])
+            full = np.zeros((b, t) + feats.shape[2:], dtype=feats.dtype)
+            full[:, idx] = feats
+            out[key + "_features"] = full
+            del out[key]
+        return out
+
+
 class CachedBackbone:
     """Wrap a frozen backbone with the embedding cache (host-side call)."""
 
@@ -145,7 +191,9 @@ class CachedBackbone:
             return model(frames)
 
         self._fwd = fwd
-        self._state = state
+        # Deep-copy the (frozen) state: train steps donate the live model
+        # buffers, and an aliased reference here would be use-after-donate.
+        self._state = jax.tree.map(jax.numpy.array, state)
 
     @property
     def output_feature_shape(self):

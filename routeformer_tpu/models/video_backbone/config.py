@@ -53,6 +53,11 @@ class TimmBackboneConfig(VideoBackboneConfig):
     # the TPU-native choice and plays the role of the reference's autocast
     # (TimmBackbone.py:132).
     compute_dtype: str = "bfloat16"
+    # GELU variant inside encoder blocks. "exact" (erf) matches torch/timm
+    # checkpoints bit-for-bit in the activation; "tanh" is the cheaper
+    # approximation (~6% faster flagship step on TPU) — safe when training
+    # from scratch, wrong when importing pretrained torch weights.
+    gelu: str = "exact"
     # Rematerialize encoder blocks in the backward pass: activations inside
     # each block are recomputed instead of stored, trading FLOPs for HBM —
     # lets much larger frame batches fit when the backbone is trained

@@ -141,8 +141,10 @@ class SwinBlock(nnx.Module):
 
     def __init__(
         self, dim: int, n_heads: int, window: int, shift: int,
-        input_hw: Tuple[int, int], dtype=None, *, rngs: nnx.Rngs,
+        input_hw: Tuple[int, int], dtype=None, gelu_approximate=False,
+        *, rngs: nnx.Rngs,
     ):
+        self.gelu_approximate = gelu_approximate
         self.window = min(window, *input_hw)
         self.shift = shift if self.window < min(input_hw) else 0
         self.input_hw = input_hw
@@ -176,7 +178,7 @@ class SwinBlock(nnx.Module):
             x = jnp.roll(x, (self.shift, self.shift), axis=(1, 2))
         # residual-post-norm (the SwinV2 ordering)
         x = shortcut + self.norm1(x.astype(jnp.float32)).astype(shortcut.dtype)
-        y = self.fc2(jax.nn.gelu(self.fc1(x), approximate=False))
+        y = self.fc2(jax.nn.gelu(self.fc1(x), approximate=self.gelu_approximate))
         return x + self.norm2(y.astype(jnp.float32)).astype(x.dtype)
 
 
@@ -190,11 +192,16 @@ class SwinBlockPair(nnx.Module):
 
     def __init__(
         self, dim: int, n_heads: int, window: int,
-        input_hw: Tuple[int, int], dtype=None, *, rngs: nnx.Rngs,
+        input_hw: Tuple[int, int], dtype=None, gelu_approximate=False,
+        *, rngs: nnx.Rngs,
     ):
         shift = min(window, *input_hw) // 2
-        self.block_a = SwinBlock(dim, n_heads, window, 0, input_hw, dtype, rngs=rngs)
-        self.block_b = SwinBlock(dim, n_heads, window, shift, input_hw, dtype, rngs=rngs)
+        self.block_a = SwinBlock(
+            dim, n_heads, window, 0, input_hw, dtype, gelu_approximate, rngs=rngs
+        )
+        self.block_b = SwinBlock(
+            dim, n_heads, window, shift, input_hw, dtype, gelu_approximate, rngs=rngs
+        )
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         return self.block_b(self.block_a(x))
@@ -211,7 +218,7 @@ class SwinStage(nnx.Module):
     def __init__(
         self, dim: int, n_heads: int, window: int, depth: int,
         input_hw: Tuple[int, int], dtype=None, remat: bool = False,
-        *, rngs: nnx.Rngs,
+        gelu_approximate: bool = False, *, rngs: nnx.Rngs,
     ):
         if depth % 2 != 0:
             raise ValueError(f"Swin stage depth must be even, got {depth}")
@@ -221,7 +228,10 @@ class SwinStage(nnx.Module):
         @nnx.split_rngs(splits=self.n_pairs)
         @nnx.vmap(in_axes=(0,), out_axes=0)
         def create_pairs(pair_rngs):
-            return SwinBlockPair(dim, n_heads, window, input_hw, dtype, rngs=pair_rngs)
+            return SwinBlockPair(
+                dim, n_heads, window, input_hw, dtype, gelu_approximate,
+                rngs=pair_rngs,
+            )
 
         self.pairs = create_pairs(rngs)
 
@@ -311,7 +321,9 @@ class SwinV2Backbone(VideoBackboneModule):
             stages.append(
                 SwinStage(
                     dim, heads, p.window, depth, (hw, hw), dtype,
-                    remat=getattr(configs, "remat", False), rngs=rngs,
+                    remat=getattr(configs, "remat", False),
+                    gelu_approximate=getattr(configs, "gelu", "exact") == "tanh",
+                    rngs=rngs,
                 )
             )
             if si < len(p.depths) - 1:

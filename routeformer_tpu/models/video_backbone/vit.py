@@ -64,7 +64,8 @@ PRESETS = {
 
 
 class ViTBlock(nnx.Module):
-    def __init__(self, width: int, heads: int, dtype=None, *, rngs: nnx.Rngs):
+    def __init__(self, width: int, heads: int, dtype=None, gelu_approximate=False,
+                 *, rngs: nnx.Rngs):
         # dtype = computation dtype (bf16 on TPU); params stay float32 and
         # LayerNorms reduce in float32 for stability.
         self.norm1 = nnx.LayerNorm(width, rngs=rngs)
@@ -75,6 +76,7 @@ class ViTBlock(nnx.Module):
         self.fc2 = nnx.Linear(4 * width, width, dtype=dtype, rngs=rngs)
         self.heads = heads
         self.width = width
+        self.gelu_approximate = gelu_approximate
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, n, c = x.shape
@@ -84,7 +86,9 @@ class ViTBlock(nnx.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         attn, _ = dot_product_attention(q, k, v)
         x = x + self.proj(attn.reshape(b, n, c))
-        x = x + self.fc2(jax.nn.gelu(self.fc1(self.norm2(x)), approximate=False))
+        x = x + self.fc2(
+            jax.nn.gelu(self.fc1(self.norm2(x)), approximate=self.gelu_approximate)
+        )
         return x
 
 
@@ -137,7 +141,11 @@ class TimmBackbone(VideoBackboneModule):
         @nnx.split_rngs(splits=p.depth)
         @nnx.vmap(in_axes=(0,), out_axes=0)
         def create_blocks(block_rngs):
-            return ViTBlock(p.width, p.heads, dtype=compute_dtype, rngs=block_rngs)
+            return ViTBlock(
+                p.width, p.heads, dtype=compute_dtype,
+                gelu_approximate=getattr(configs, "gelu", "exact") == "tanh",
+                rngs=block_rngs,
+            )
 
         self.blocks = create_blocks(rngs)
         self.depth = p.depth

@@ -200,3 +200,55 @@ class TestRouteformerFull:
         # fusion encoder grads must be nonzero
         fusion_leaves = jax.tree.leaves(grads.video_encoder)
         assert any(float(jnp.abs(g).max()) > 0.0 for g in fusion_leaves)
+
+
+class TestPrecomputedFeatures:
+    """The embedding-cache steady state: pixels swapped for backbone features."""
+
+    def _model(self, tmp_path):
+        cfg = full_config(
+            video_backbone_config=TimmBackboneConfig(
+                model_type="vit_tiny_test", cache_enabled=True,
+                cache_dir=str(tmp_path), cache_dtype="float32",
+                compute_dtype="float32",
+            ),
+            with_video=True, with_gaze=True,
+        )
+        return Routeformer(cfg, video_backbone=SwinV2, rngs=nnx.Rngs(0, dropout=1))
+
+    def test_matches_pixel_path(self, rng, tmp_path):
+        from routeformer_tpu.models.video_backbone.cache import (
+            VideoFeaturePrecomputer,
+        )
+
+        model = self._model(tmp_path)
+        model.eval()
+        batch = make_batch(rng, with_video=True, with_gaze=True)
+        pre = VideoFeaturePrecomputer(model)
+        feature_batch = pre(batch)
+        assert "left_video" not in feature_batch
+        assert "left_video_features" in feature_batch
+
+        out_pixels = np.asarray(model(batch))
+        out_features = np.asarray(model(feature_batch))
+        np.testing.assert_allclose(out_features, out_pixels, atol=1e-5)
+
+    def test_second_pass_hits_cache(self, rng, tmp_path):
+        from routeformer_tpu.models.video_backbone.cache import (
+            VideoFeaturePrecomputer,
+        )
+
+        model = self._model(tmp_path)
+        model.eval()
+        batch = make_batch(rng, with_video=True, with_gaze=True)
+        pre = VideoFeaturePrecomputer(model)
+        first = pre(batch)
+
+        calls = []
+        original = pre.backbone._fwd
+        pre.backbone._fwd = lambda s, f: (calls.append(f.shape), original(s, f))[1]
+        second = pre(batch)
+        assert calls == []  # every frame served from cache
+        np.testing.assert_allclose(
+            second["left_video_features"], first["left_video_features"]
+        )
