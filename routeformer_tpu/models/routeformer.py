@@ -197,18 +197,26 @@ class Routeformer(nnx.Module):
         try:
             graphdef, state = nnx.split(self)
 
+            # The module STATE rides the scan carry: merging a closure-
+            # captured live state inside the body would make rng-count /
+            # batch-stat mutations cross trace levels (TraceContextError
+            # under MC eval, where ProbSparse sampling stays stochastic).
+            # Carried state keeps each step's mutations trace-local and
+            # threads rng counts step to step, like the reference's
+            # sequential loop (reference routeformer.py:164-197).
             if self.with_video:
                 def body(carry, _):
-                    md, last_gps, vf = carry
-                    model = nnx.merge(graphdef, state)
+                    md, last_gps, vf, mstate = carry
+                    model = nnx.merge(graphdef, mstate)
                     output, _ = model._forward(md, vf)
                     fmv, fgps, fvf = model.postprocess_batch(last_gps, output)
                     md = jnp.concatenate([md[:, step:], fmv], axis=1)
                     vf = jnp.concatenate([vf[:, step:], fvf], axis=1)
-                    return (md, fgps[:, -1:, :], vf), (fgps, fvf)
+                    mstate = nnx.state(model)
+                    return (md, fgps[:, -1:, :], vf, mstate), (fgps, fvf)
 
-                carry = (motion_dynamics, last_input_gps, visual_features)
-                _, (gps_steps, feat_steps) = jax.lax.scan(
+                carry = (motion_dynamics, last_input_gps, visual_features, state)
+                (_, _, _, state), (gps_steps, feat_steps) = jax.lax.scan(
                     body, carry, None, length=n_steps
                 )
                 # (n_steps, B, step, C) -> (B, n_steps*step, C)
@@ -217,16 +225,23 @@ class Routeformer(nnx.Module):
                 )[:, :pred_len]
             else:
                 def body(carry, _):
-                    md, last_gps = carry
-                    model = nnx.merge(graphdef, state)
+                    md, last_gps, mstate = carry
+                    model = nnx.merge(graphdef, mstate)
                     output, _ = model._forward(md, None)
                     fmv, fgps, _ = model.postprocess_batch(last_gps, output)
                     md = jnp.concatenate([md[:, step:], fmv], axis=1)
-                    return (md, fgps[:, -1:, :]), fgps
+                    mstate = nnx.state(model)
+                    return (md, fgps[:, -1:, :], mstate), fgps
 
-                carry = (motion_dynamics, last_input_gps)
-                _, gps_steps = jax.lax.scan(body, carry, None, length=n_steps)
+                carry = (motion_dynamics, last_input_gps, state)
+                (_, _, state), gps_steps = jax.lax.scan(
+                    body, carry, None, length=n_steps
+                )
                 future_visual = None
+
+            # Propagate the scan's state mutations (rng counts, batch stats)
+            # back onto the live module.
+            nnx.update(self, state)
 
             future_gps = jnp.concatenate(
                 [gps_steps[i] for i in range(n_steps)], axis=1

@@ -298,6 +298,14 @@ class SwinV2Backbone(VideoBackboneModule):
         self.preset = preset
         self.train_backbone = configs.train_backbone
         self.unfreeze = False
+        # Train-time photometric augs (reference TimmBackbone.py:58-67),
+        # applied when the backbone itself is being trained. nnx
+        # train()/eval() toggles `deterministic`. Applied to the [0,1]
+        # frames BEFORE mean/std normalization (the reference runs
+        # torchvision's [0,1]-clamping ops on normalized tensors; doing
+        # it pre-normalization keeps the ops' semantics intact).
+        self.deterministic = True
+        self.aug_rngs = rngs.dropout.fork()
         dtype = (
             jnp.bfloat16
             if getattr(configs, "compute_dtype", "float32") == "bfloat16"
@@ -353,6 +361,10 @@ class SwinV2Backbone(VideoBackboneModule):
         return (images - mean) / std
 
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        if self.train_backbone and not self.deterministic:
+            from routeformer_tpu.ops.augment import photometric_augment
+
+            images = photometric_augment(images, self.aug_rngs())
         x = self.preprocess(images)
         if self.compute_dtype is not None:
             x = x.astype(self.compute_dtype)

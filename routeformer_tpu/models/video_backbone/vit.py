@@ -115,6 +115,14 @@ class TimmBackbone(VideoBackboneModule):
         # Reference quirk: forward re-enables backbone grads after epoch 10
         # (TimmBackbone.py:123); the trainer toggles this attribute.
         self.unfreeze = False
+        # Train-time photometric augs (reference TimmBackbone.py:58-67),
+        # applied when the backbone itself is being trained. nnx
+        # train()/eval() toggles `deterministic`. Applied to the [0,1]
+        # frames BEFORE mean/std normalization (the reference runs
+        # torchvision's [0,1]-clamping ops on normalized tensors; doing
+        # it pre-normalization keeps the ops' semantics intact).
+        self.deterministic = True
+        self.aug_rngs = rngs.dropout.fork()
 
         p = self.preset
         grid = p.img_size // p.patch_size
@@ -179,6 +187,10 @@ class TimmBackbone(VideoBackboneModule):
 
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
         """(N, H, W, C) frames -> (N, H', W', C') features."""
+        if self.train_backbone and not self.deterministic:
+            from routeformer_tpu.ops.augment import photometric_augment
+
+            images = photometric_augment(images, self.aug_rngs())
         x = self.preprocess(images)
         if self.compute_dtype is not None:
             x = x.astype(self.compute_dtype)

@@ -117,3 +117,58 @@ class TestParallelTrainer:
         np.testing.assert_allclose(
             float(metrics["val_stationary_baseline_ade"]), expected, rtol=1e-4
         )
+
+
+class TestAutoregressiveEval:
+    """Regression: MC eval of an autoregressive video model must not leak
+    rng-count mutations across the decode scan's trace (TraceContextError)."""
+
+    def test_autoreg_video_mc_eval(self):
+        from routeformer_tpu.models.video_backbone import (
+            TimmBackbone,
+            TimmBackboneConfig,
+        )
+
+        gps_cfg = GPSBackboneConfig(
+            seq_len=SEQ_LEN, label_len=SEQ_LEN, pred_len=PRED_LEN,
+            d_model=32, n_heads=4, e_layers=1, d_layers=1, d_ff=64,
+            factor=4, dropout=0.0, activation="relu", distil=True,
+        )
+        cfg = RouteformerConfig(
+            gps_backbone_config=gps_cfg,
+            video_backbone_config=TimmBackboneConfig(
+                model_type="vit_tiny_test", cache_enabled=False,
+                compute_dtype="float32",
+            ),
+            decoder_mode="smart",
+            with_video=True, with_gaze=True,
+            dense_prediction=True, dense_loss_ratio=0.5,
+            autoregressive_step_size=10,
+            discount_factor={0: 0.97}, epsilon=1.0, visual_epsilon=0.3,
+            image_embedding_size=16, encoder_hidden_size=16,
+            encoder_heads=4, encoder_layers=1, encoder_d_ff=32,
+            cross_modal_decoder_heads=4, cross_modal_decoder_layers=1,
+            output_fps=5, video_fps=1, gaze_fps=1,
+        )
+        models = {
+            "autoreg": Routeformer(
+                cfg, gps_backbone=Informer, video_backbone=TimmBackbone,
+                rngs=nnx.Rngs(0, dropout=1),
+            )
+        }
+        tx = build_optimizer(
+            learning_rate=1e-3, video_backbone_lr=1e-6,
+            warmup_epochs=0, max_epochs=10, gradient_clip_val=2.5,
+        )
+        trainer = ParallelTrainer(models, tx, cfg)
+        batch = synthetic_batch(
+            0, batch_size=2, seq_len=SEQ_LEN, pred_len=PRED_LEN,
+            fps=cfg.output_fps, with_video=True, with_gaze=True,
+            frame_hw=(16, 24),
+        )
+        trainer.training_step(batch)
+        metrics = trainer.eval_step(batch)
+        ade_keys = [k for k in metrics if k.endswith("_ade")]
+        assert ade_keys and all(
+            np.isfinite(float(metrics[k])) for k in ade_keys
+        )
