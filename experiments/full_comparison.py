@@ -385,7 +385,14 @@ def main():
         else None
     )
 
-    for epoch in range(EPOCHS):
+    # RESUME=1 restores each model's best checkpoint and continues from the
+    # epoch after the newest one (the resume path the reference lacks).
+    start_epoch = 0
+    if os.getenv("RESUME", "0") == "1":
+        start_epoch = ckpt.restore_all(trainer)
+        print(f"resumed from checkpoints at epoch {start_epoch}")
+
+    for epoch in range(start_epoch, EPOCHS):
         trainer.epoch = epoch
         for i, batch in enumerate(iter_batches(train_data, epoch)):
             if max_train_batches is not None and i >= max_train_batches:

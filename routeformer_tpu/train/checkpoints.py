@@ -134,6 +134,21 @@ class CheckpointManager:
         trainer.states[name].replace_by_pure_dict(full)
         return True
 
+    def restore_all(self, trainer) -> int:
+        """Restore every model with a saved checkpoint; return the epoch to
+        resume from (1 past the newest restored checkpoint, 0 if none).
+
+        This is the resume entry point the reference lacks (it never passes
+        ``ckpt_path`` to ``fit``, full_comparison.py:838-842).
+        """
+        resume_epoch = 0
+        for name in trainer.model_names:
+            if self.restore(trainer, name):
+                entry = self._best.get(name, {})
+                resume_epoch = max(resume_epoch, int(entry.get("epoch", -1)) + 1)
+                logger.info("restored %s (best %s)", name, entry)
+        return resume_epoch
+
     @property
     def best(self) -> Dict:
         return dict(self._best)

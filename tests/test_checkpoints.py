@@ -73,6 +73,35 @@ class TestCheckpointManager:
         assert ckpt.best["informer"]["epoch"] == 2
 
 
+    def test_restore_all_resumes_epoch(self, tmp_path):
+        trainer = tiny_trainer()
+        batch = synthetic_batch(0, batch_size=4)
+        trainer.training_step(batch)
+        metrics = trainer.eval_step(batch)
+        ckpt = CheckpointManager(tmp_path)
+        trainer.epoch = 3
+        ckpt.maybe_save(trainer, metrics, epoch=3)
+        saved_params = jax.tree.map(
+            np.asarray, trainer.params["informer"].to_pure_dict()
+        )
+
+        fresh = tiny_trainer()
+        ckpt2 = CheckpointManager(tmp_path)
+        start_epoch = ckpt2.restore_all(fresh)
+        assert start_epoch == 4
+        restored = jax.tree.map(
+            np.asarray, fresh.params["informer"].to_pure_dict()
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(a, b),
+            saved_params, restored,
+        )
+
+    def test_restore_all_without_checkpoints_is_epoch_zero(self, tmp_path):
+        trainer = tiny_trainer()
+        assert CheckpointManager(tmp_path).restore_all(trainer) == 0
+
+
 class TestSampleCache:
     def test_roundtrip_and_heal(self, tmp_path, rng):
         cache = SampleCache(tmp_path, params_repr="v1")
