@@ -51,12 +51,16 @@ class PerceiveEncoder(nnx.Module):
         dropout: float = 0.1,
         activation: str = "gelu",
         output_attention: bool = False,
+        compute_dtype: Optional[str] = None,
         *,
         rngs: nnx.Rngs,
     ):
         self.pred_len = out_len
         self.output_attention = output_attention
         d_ff = d_ff if d_ff is not None else 4 * d_model
+        # bf16 computation (params f32, LayerNorms f32) — the TPU autocast
+        # role for the fusion stack; None keeps full f32.
+        dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else None
 
         self.value_embedding = TokenEmbedding(in_channels, d_model, rngs=rngs)
         self.position_embedding = PositionalEmbedding(d_model)
@@ -70,10 +74,10 @@ class PerceiveEncoder(nnx.Module):
                         output_attention=output_attention,
                         rngs=layer_rngs,
                     ),
-                    d_model, n_heads, mix=False, rngs=layer_rngs,
+                    d_model, n_heads, mix=False, dtype=dtype, rngs=layer_rngs,
                 ),
                 d_model, d_ff, dropout=dropout, activation=activation,
-                rngs=layer_rngs,
+                dtype=dtype, rngs=layer_rngs,
             )
 
         # Identical-shape self-attention layers (no distillation — the
@@ -134,12 +138,14 @@ class PerceiveDecoder(nnx.Module):
         dropout: float = 0.1,
         activation: str = "gelu",
         mix: bool = True,
+        compute_dtype: Optional[str] = None,
         *,
         rngs: nnx.Rngs,
     ):
         self.pred_len = out_len
         d_model = value_channels
         d_ff = d_ff if d_ff is not None else 4 * d_model
+        dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else None
 
         self.value_embedding = TokenEmbedding(query_channels, d_model, rngs=rngs)
         self.position_embedding = PositionalEmbedding(d_model)
@@ -152,7 +158,7 @@ class PerceiveDecoder(nnx.Module):
                             attention_dropout=dropout,
                             output_attention=False, rngs=rngs,
                         ),
-                        d_model, n_heads, mix=mix, rngs=rngs,
+                        d_model, n_heads, mix=mix, dtype=dtype, rngs=rngs,
                     ),
                     AttentionLayer(
                         FullAttention(
@@ -160,10 +166,10 @@ class PerceiveDecoder(nnx.Module):
                             attention_dropout=dropout,
                             output_attention=False, rngs=rngs,
                         ),
-                        d_model, n_heads, mix=False, rngs=rngs,
+                        d_model, n_heads, mix=False, dtype=dtype, rngs=rngs,
                     ),
                     d_model, d_ff, dropout=dropout, activation=activation,
-                    rngs=rngs,
+                    dtype=dtype, rngs=rngs,
                 )
                 for _ in range(layers)
             ],

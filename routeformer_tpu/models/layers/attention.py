@@ -120,17 +120,20 @@ class AttentionLayer(nnx.Module):
         d_keys: Optional[int] = None,
         d_values: Optional[int] = None,
         mix: bool = False,
+        dtype=None,
         *,
         rngs: nnx.Rngs,
     ):
         d_keys = d_keys or (d_model // n_heads)
         d_values = d_values or (d_model // n_heads)
 
+        # dtype: computation dtype for the projections (bf16 on TPU; params
+        # stay float32). The inner attention op computes softmax in f32.
         self.inner_attention = attention
-        self.query_projection = nnx.Linear(d_model, d_keys * n_heads, rngs=rngs)
-        self.key_projection = nnx.Linear(d_model, d_keys * n_heads, rngs=rngs)
-        self.value_projection = nnx.Linear(d_model, d_values * n_heads, rngs=rngs)
-        self.out_projection = nnx.Linear(d_values * n_heads, d_model, rngs=rngs)
+        self.query_projection = nnx.Linear(d_model, d_keys * n_heads, dtype=dtype, rngs=rngs)
+        self.key_projection = nnx.Linear(d_model, d_keys * n_heads, dtype=dtype, rngs=rngs)
+        self.value_projection = nnx.Linear(d_model, d_values * n_heads, dtype=dtype, rngs=rngs)
+        self.out_projection = nnx.Linear(d_values * n_heads, d_model, dtype=dtype, rngs=rngs)
         self.n_heads = n_heads
         self.mix = mix
 

@@ -69,13 +69,14 @@ class EncoderLayer(nnx.Module):
         d_ff: Optional[int] = None,
         dropout: float = 0.1,
         activation: str = "relu",
+        dtype=None,
         *,
         rngs: nnx.Rngs,
     ):
         d_ff = d_ff or 4 * d_model
         self.attention = attention
-        self.ff1 = nnx.Linear(d_model, d_ff, rngs=rngs)
-        self.ff2 = nnx.Linear(d_ff, d_model, rngs=rngs)
+        self.ff1 = nnx.Linear(d_model, d_ff, dtype=dtype, rngs=rngs)
+        self.ff2 = nnx.Linear(d_ff, d_model, dtype=dtype, rngs=rngs)
         self.norm1 = nnx.LayerNorm(d_model, rngs=rngs)
         self.norm2 = nnx.LayerNorm(d_model, rngs=rngs)
         self.dropout = nnx.Dropout(dropout, rngs=rngs)
@@ -132,14 +133,15 @@ class DecoderLayer(nnx.Module):
         d_ff: Optional[int] = None,
         dropout: float = 0.1,
         activation: str = "relu",
+        dtype=None,
         *,
         rngs: nnx.Rngs,
     ):
         d_ff = d_ff or 4 * d_model
         self.self_attention = self_attention
         self.cross_attention = cross_attention
-        self.ff1 = nnx.Linear(d_model, d_ff, rngs=rngs)
-        self.ff2 = nnx.Linear(d_ff, d_model, rngs=rngs)
+        self.ff1 = nnx.Linear(d_model, d_ff, dtype=dtype, rngs=rngs)
+        self.ff2 = nnx.Linear(d_ff, d_model, dtype=dtype, rngs=rngs)
         self.norm1 = nnx.LayerNorm(d_model, rngs=rngs)
         self.norm2 = nnx.LayerNorm(d_model, rngs=rngs)
         self.norm3 = nnx.LayerNorm(d_model, rngs=rngs)

@@ -90,6 +90,7 @@ class Routeformer(nnx.Module):
                 layers=self.configs.encoder_layers,
                 d_ff=self.configs.encoder_d_ff,
                 dropout=self.configs.feature_dropout,
+                compute_dtype=self.configs.compute_dtype,
                 rngs=rngs,
             )
 
@@ -109,6 +110,7 @@ class Routeformer(nnx.Module):
                 layers=self.configs.encoder_layers,
                 d_ff=self.configs.encoder_d_ff,
                 dropout=self.configs.feature_dropout,
+                compute_dtype=self.configs.compute_dtype,
                 rngs=rngs,
             )
 
@@ -121,6 +123,7 @@ class Routeformer(nnx.Module):
                     layers=self.configs.encoder_layers,
                     d_ff=self.configs.encoder_d_ff,
                     dropout=self.configs.feature_dropout,
+                    compute_dtype=self.configs.compute_dtype,
                     rngs=rngs,
                 )
                 self.gaze_video_decoder = PerceiveDecoder(
@@ -133,6 +136,7 @@ class Routeformer(nnx.Module):
                     n_heads=self.configs.cross_modal_decoder_heads,
                     layers=self.configs.cross_modal_decoder_layers,
                     mix=False,
+                    compute_dtype=self.configs.compute_dtype,
                     rngs=rngs,
                 )
 

@@ -167,7 +167,10 @@ def prob_sparse_attention(
     _, m_top = jax.lax.top_k(m, u)  # (B, H, u)
 
     q_reduce = jnp.take_along_axis(qt, m_top[..., None], axis=2)  # (B, H, u, E)
-    scores = jnp.einsum("bhue,bhse->bhus", q_reduce, kt) * scale  # (B, H, u, L_k)
+    # f32 scores/softmax regardless of the (possibly bf16) compute dtype.
+    scores = (
+        jnp.einsum("bhue,bhse->bhus", q_reduce, kt).astype(jnp.float32) * scale
+    )  # (B, H, u, L_k)
 
     if causal:
         # ProbMask: selected query at original position p masks keys > p.

@@ -252,3 +252,45 @@ class TestPrecomputedFeatures:
         np.testing.assert_allclose(
             second["left_video_features"], first["left_video_features"]
         )
+
+
+class TestFusionBf16:
+    def test_perceive_encoder_bf16_close_to_f32(self, rng):
+        x = jnp.asarray(rng.normal(size=(2, 33, 8)).astype(np.float32))
+        kw = dict(
+            in_channels=8, out_len=16, out_channels=8, n_heads=4,
+            layers=2, d_ff=32, dropout=0.0,
+        )
+        f32 = PerceiveEncoder(**kw, rngs=nnx.Rngs(0, dropout=1))
+        bf16 = PerceiveEncoder(**kw, compute_dtype="bfloat16",
+                               rngs=nnx.Rngs(0, dropout=1))
+        f32.eval(), bf16.eval()
+        a, b = np.asarray(f32(x)), np.asarray(bf16(x))
+        diff = np.abs(a - b.astype(np.float32))
+        scale = max(1.0, float(np.abs(a).max()))
+        # bf16 rounding can flip ProbSparse top-u picks (discrete outliers),
+        # so bound the mean tightly and the max loosely.
+        assert diff.mean() / scale < 0.01
+        assert diff.max() / scale < 0.25
+
+    def test_routeformer_bf16_fusion_trains(self, rng):
+        cfg = full_config(
+            video_backbone_config=video_config(),
+            with_video=True, with_gaze=True, compute_dtype="bfloat16",
+        )
+        model = Routeformer(cfg, video_backbone=SwinV2,
+                            rngs=nnx.Rngs(0, dropout=1))
+        batch = make_batch(rng, with_video=True, with_gaze=True, B=1)
+        model.train()
+
+        def loss_fn(m):
+            out = m(batch)
+            out = out[0] if isinstance(out, tuple) else out
+            return (out.astype(jnp.float32) ** 2).mean()
+
+        loss, grads = nnx.value_and_grad(loss_fn)(model)
+        assert np.isfinite(float(loss))
+        gmax = max(
+            float(jnp.abs(g).max()) for g in jax.tree.leaves(grads)
+        )
+        assert np.isfinite(gmax)
