@@ -137,6 +137,9 @@ ROUTEFORMER_CONFIG = RouteformerConfig(
     normalize_motion=False,
     rotate_motion=DATASET == "DREYEVE",
     decoder_mode="smart",
+    # COMPUTE_DTYPE=bfloat16 runs the fusion stack in bf16 (params/norms/
+    # softmax stay f32) — +11% flagship step on TPU; see docs/PERF.md.
+    compute_dtype=os.getenv("COMPUTE_DTYPE", "float32"),
 )
 
 SWINV2_BACKBONE_CONFIG = TimmBackboneConfig(
