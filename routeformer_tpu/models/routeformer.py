@@ -451,12 +451,23 @@ class Routeformer(nnx.Module):
         left = left.reshape((-1,) + left.shape[2:])
         right = right.reshape((-1,) + right.shape[2:])
 
-        right_features = self._forward_single_video(
-            right, drop_right, training, precomputed=precomputed
+        # Both views ride ONE backbone + frame-encoder call (the tiny-dim
+        # fusion encoder is latency-bound — halving its call count is a
+        # measured win; same parameters, so the math per frame is unchanged;
+        # view-drop masks are applied per half afterwards).
+        n = left.shape[0]
+        both = jnp.concatenate([left, right], axis=0)
+        both_features = self._forward_single_video(
+            both, jnp.asarray(False), training=False, precomputed=precomputed
         )
-        left_features = self._forward_single_video(
-            left, drop_left, training, precomputed=precomputed
-        )
+        left_features, right_features = both_features[:n], both_features[n:]
+        if training:
+            left_features = jnp.where(
+                drop_left, jnp.zeros_like(left_features), left_features
+            )
+            right_features = jnp.where(
+                drop_right, jnp.zeros_like(right_features), right_features
+            )
 
         left_features = left_features.reshape(batch_size, -1, left_features.shape[-1])
         right_features = right_features.reshape(
