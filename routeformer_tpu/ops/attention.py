@@ -23,6 +23,7 @@ All functions take ``(B, L, H, E)`` tensors (the reference's layout).
 """
 
 import math
+import os
 from typing import Optional
 
 import jax
@@ -155,22 +156,40 @@ def prob_sparse_attention(
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
 
-    # Sampled scores via a gathered-K einsum. (Measured against the
-    # alternative — one dense (B, H, L, L) score matmul reused for sampling
-    # and the top-u rows — the gather formulation is ~10% faster end-to-end
-    # at the flagship's shapes; see docs/PERF.md.)
-    k_sampled = kt[:, :, index_sample, :]  # (B, H, L_q, U_part, E)
-    qk_sample = jnp.einsum("bhle,bhlse->bhls", qt, k_sampled)
+    # Two formulations of the sampled-score stage (ROUTEFORMER_PROBSPARSE):
+    # - "gather" (default): gather the sampled K rows then einsum. Measured
+    #   ~10% faster end-to-end at f32 unmerged-fusion shapes (docs/PERF.md),
+    #   at the cost of materializing a (B, H, L_q, U_part, E) tensor.
+    # - "dense": one dense (B, H, L, S) MXU score matmul, reused for both
+    #   the sampling gather and the top-u rows — trades the big gather for
+    #   trivial FLOPs.
+    if os.getenv("ROUTEFORMER_PROBSPARSE", "gather") == "dense":
+        qk_full = jnp.einsum(
+            "bhle,bhse->bhls", qt, kt,
+            preferred_element_type=jnp.float32,
+        )  # (B, H, L_q, L_k)
+        qk_sample = jnp.take_along_axis(
+            qk_full, index_sample[None, None], axis=3
+        )  # (B, H, L_q, U_part)
+        m = qk_sample.max(axis=-1) - qk_sample.sum(axis=-1) / l_k
+        _, m_top = jax.lax.top_k(m, u)  # (B, H, u)
+        scores = (
+            jnp.take_along_axis(qk_full, m_top[..., None], axis=2) * scale
+        )  # (B, H, u, L_k), f32
+    else:
+        k_sampled = kt[:, :, index_sample, :]  # (B, H, L_q, U_part, E)
+        qk_sample = jnp.einsum("bhle,bhlse->bhls", qt, k_sampled)
 
-    # Sparsity measure and top-u query selection.
-    m = qk_sample.max(axis=-1) - qk_sample.sum(axis=-1) / l_k  # (B, H, L_q)
-    _, m_top = jax.lax.top_k(m, u)  # (B, H, u)
+        # Sparsity measure and top-u query selection.
+        m = qk_sample.max(axis=-1) - qk_sample.sum(axis=-1) / l_k  # (B, H, L_q)
+        _, m_top = jax.lax.top_k(m, u)  # (B, H, u)
 
-    q_reduce = jnp.take_along_axis(qt, m_top[..., None], axis=2)  # (B, H, u, E)
-    # f32 scores/softmax regardless of the (possibly bf16) compute dtype.
-    scores = (
-        jnp.einsum("bhue,bhse->bhus", q_reduce, kt).astype(jnp.float32) * scale
-    )  # (B, H, u, L_k)
+        q_reduce = jnp.take_along_axis(qt, m_top[..., None], axis=2)
+        # f32 scores/softmax regardless of the (possibly bf16) compute dtype.
+        scores = (
+            jnp.einsum("bhue,bhse->bhus", q_reduce, kt).astype(jnp.float32)
+            * scale
+        )  # (B, H, u, L_k)
 
     if causal:
         # ProbMask: selected query at original position p masks keys > p.
