@@ -325,13 +325,36 @@ class Routeformer(nnx.Module):
         motion_dynamics = jnp.pad(motion_vector, ((0, 0), (1, 0), (0, 0)))
 
         visual_features = []
+        # All video streams (left/right scene + front gaze camera) ride ONE
+        # backbone-encode and ONE frame-encoder call — the fusion encoder is
+        # latency-bound, so call count is the measured lever (docs/PERF.md).
+        scene = front = None
         if self.with_video and self.with_scene:
-            left_features, right_features = self._forward_video(batch, training)
+            scene = self._prepare_scene(batch, training)
+        if self.with_gaze:
+            front = self._prepare_front(batch)
+        streams = []
+        if scene is not None:
+            streams += [
+                (scene["left"], scene["precomputed"]),
+                (scene["right"], scene["precomputed"]),
+            ]
+        if front is not None:
+            streams.append((front["video"], front["precomputed"]))
+        encoded = self._encode_frame_streams(streams) if streams else []
+
+        if scene is not None:
+            left_features, right_features = self._finish_scene(
+                scene, encoded[0], encoded[1], training
+            )
             visual_features.extend([left_features, right_features])
 
         if self.with_gaze:
             gaze_positions = batch["gaze"].astype(jnp.float32)
-            gaze_video_features = self._forward_gaze_video(batch, training)
+            gaze_video_features = self._scatter_timeline(
+                encoded[-1], front["batch_size"], front["length"],
+                front["indices"],
+            )
             input_sequence_length = gaze_video_features.shape[1]
             gaze_positions = median_downsampler(
                 gaze_positions, self.configs.gps_backbone_config.seq_len
@@ -404,9 +427,10 @@ class Routeformer(nnx.Module):
     # video / gaze paths
     # ------------------------------------------------------------------ #
 
-    def _forward_video(self, batch: dict, training: bool):
-        """Left/right scene features on the output-fps timeline
-        (reference routeformer.py:397-461).
+    def _prepare_scene(self, batch: dict, training: bool):
+        """Scene-view data prep (reference routeformer.py:397-461): pixel or
+        precomputed-feature streams, subsampled and flattened, plus the
+        view-drop decisions — no compute yet.
 
         Accepts either pixel streams (``left_video``/``right_video``) or
         precomputed frozen-backbone feature maps
@@ -448,64 +472,19 @@ class Routeformer(nnx.Module):
         right = right[:, video_indices]
 
         batch_size = left.shape[0]
-        left = left.reshape((-1,) + left.shape[2:])
-        right = right.reshape((-1,) + right.shape[2:])
-
-        # Both views ride ONE backbone + frame-encoder call (the tiny-dim
-        # fusion encoder is latency-bound — halving its call count is a
-        # measured win; same parameters, so the math per frame is unchanged;
-        # view-drop masks are applied per half afterwards).
-        n = left.shape[0]
-        both = jnp.concatenate([left, right], axis=0)
-        both_features = self._forward_single_video(
-            both, jnp.asarray(False), training=False, precomputed=precomputed
-        )
-        left_features, right_features = both_features[:n], both_features[n:]
-        if training:
-            left_features = jnp.where(
-                drop_left, jnp.zeros_like(left_features), left_features
-            )
-            right_features = jnp.where(
-                drop_right, jnp.zeros_like(right_features), right_features
-            )
-
-        left_features = left_features.reshape(batch_size, -1, left_features.shape[-1])
-        right_features = right_features.reshape(
-            batch_size, -1, right_features.shape[-1]
+        return dict(
+            left=left.reshape((-1,) + left.shape[2:]),
+            right=right.reshape((-1,) + right.shape[2:]),
+            precomputed=precomputed,
+            drop_left=drop_left,
+            drop_right=drop_right,
+            batch_size=batch_size,
+            length=original_video_length,
+            indices=video_indices,
         )
 
-        # Scatter onto the full timeline (zeros where no frame was sampled).
-        def scatter(feats):
-            full = jnp.zeros(
-                (batch_size, original_video_length, feats.shape[-1]), feats.dtype
-            )
-            return full.at[:, video_indices].set(feats)
-
-        return scatter(left_features), scatter(right_features)
-
-    def _forward_single_video(self, video, drop, training: bool, precomputed=False):
-        """One view's per-frame embedding (reference routeformer.py:463-491).
-
-        video: flattened frames (N, H, W, C), or the backbone's feature maps
-        (N, H', W', C') when ``precomputed``; drop: traced bool.
-        """
-        if precomputed:
-            features = video.astype(jnp.float32)
-        else:
-            features = self.video_backbone(video)  # (N, H', W', C')
-        n = features.shape[0]
-        tokens = features.reshape(n, -1, features.shape[-1])
-        tokens = jnp.concatenate(
-            [tokens, -jnp.ones_like(tokens[:, :1, :])], axis=1
-        )
-        encoded = self.frame_encoder(tokens)  # (N, 1, emb)
-        encoded = encoded.reshape(n, self.configs.image_embedding_size)
-        if training:
-            encoded = jnp.where(drop, jnp.zeros_like(encoded), encoded)
-        return encoded
-
-    def _forward_gaze_video(self, batch: dict, training: bool):
-        """Front (gaze-camera) video features (reference routeformer.py:493-533)."""
+    def _prepare_front(self, batch: dict):
+        """Front (gaze-camera) stream prep (reference routeformer.py:493-533)."""
         precomputed = "front_video_features" in batch
         video = batch["front_video_features"] if precomputed else batch["front_video"]
         relative_fps = self.configs.output_fps // self.configs.gaze_fps
@@ -513,15 +492,104 @@ class Routeformer(nnx.Module):
         original_video_length = video.shape[1]
         video_indices = _fps_subsample_indices(original_video_length, relative_fps)
         video = video[:, video_indices]
-
         batch_size = video.shape[0]
-        video = video.reshape((-1,) + video.shape[2:])
-        features = self._forward_single_video(
-            video, jnp.asarray(False), training, precomputed=precomputed
+        return dict(
+            video=video.reshape((-1,) + video.shape[2:]),
+            precomputed=precomputed,
+            batch_size=batch_size,
+            length=original_video_length,
+            indices=video_indices,
         )
-        features = features.reshape(batch_size, -1, features.shape[-1])
 
-        full = jnp.zeros(
-            (batch_size, original_video_length, features.shape[-1]), features.dtype
+    def _encode_frame_streams(self, streams):
+        """Per-frame embeddings for several streams in ONE fusion call
+        (reference's per-view loop, routeformer.py:463-491).
+
+        streams: list of (array, precomputed) where array is flattened
+        frames (Ni, H, W, C) — resolutions may differ per stream — or the
+        backbone's feature maps (Ni, H', W', C'). The tiny-dim fusion
+        encoder is latency-bound, so all streams share one backbone encode
+        (when the backbone exposes the preprocess/encode split) and one
+        frame-encoder call; per-frame math is unchanged (same parameters).
+        Returns a list of (Ni, image_embedding_size).
+        """
+        sizes = [s.shape[0] for s, _ in streams]
+
+        feature_maps = [None] * len(streams)
+        pixel_ix = [i for i, (_, pre) in enumerate(streams) if not pre]
+        for i, (s, pre) in enumerate(streams):
+            if pre:
+                feature_maps[i] = s.astype(jnp.float32)
+        if pixel_ix:
+            bb = self.video_backbone
+            if hasattr(bb, "preprocess_frames") and hasattr(bb, "encode_frames"):
+                # Merge: per-stream resize/normalize to the backbone-native
+                # resolution, then one encoder pass over all frames.
+                pre_all = jnp.concatenate(
+                    [bb.preprocess_frames(streams[i][0]) for i in pixel_ix], axis=0
+                )
+                enc_all = bb.encode_frames(pre_all)
+                offsets = np.cumsum([sizes[i] for i in pixel_ix])[:-1]
+                for i, part in zip(pixel_ix, jnp.split(enc_all, offsets, axis=0)):
+                    feature_maps[i] = part
+            else:
+                # Backbones without a canonical input size (InverseForm)
+                # run per stream.
+                for i in pixel_ix:
+                    feature_maps[i] = bb(streams[i][0])
+
+        # Feature-map spatial shapes can differ across streams (mixed
+        # precomputed dtypes are unified above); tokens per frame must match
+        # for one fused call — they do whenever one backbone serves all
+        # streams, which is the model's invariant.
+        tokens = jnp.concatenate(
+            [f.reshape(f.shape[0], -1, f.shape[-1]) for f in feature_maps], axis=0
         )
-        return full.at[:, video_indices].set(features)
+        tokens = jnp.concatenate(
+            [tokens, -jnp.ones_like(tokens[:, :1, :])], axis=1
+        )
+        encoded = self.frame_encoder(tokens)  # (sum N, 1, emb)
+        encoded = encoded.reshape(-1, self.configs.image_embedding_size)
+        return jnp.split(encoded, np.cumsum(sizes)[:-1], axis=0)
+
+    @staticmethod
+    def _scatter_timeline(feats, batch_size, length, indices):
+        """(B*T', emb) -> (B, T, emb), zeros where no frame was sampled."""
+        feats = feats.reshape(batch_size, -1, feats.shape[-1])
+        full = jnp.zeros((batch_size, length, feats.shape[-1]), feats.dtype)
+        return full.at[:, indices].set(feats)
+
+    def _forward_video(self, batch: dict, training: bool):
+        """Left/right scene features on the output-fps timeline (standalone
+        path; preprocess_batch uses the merged-stream path)."""
+        scene = self._prepare_scene(batch, training)
+        left_features, right_features = self._encode_frame_streams(
+            [(scene["left"], scene["precomputed"]),
+             (scene["right"], scene["precomputed"])]
+        )
+        return self._finish_scene(scene, left_features, right_features, training)
+
+    def _finish_scene(self, scene, left_features, right_features, training):
+        if training:
+            left_features = jnp.where(
+                scene["drop_left"], jnp.zeros_like(left_features), left_features
+            )
+            right_features = jnp.where(
+                scene["drop_right"], jnp.zeros_like(right_features), right_features
+            )
+        args = (scene["batch_size"], scene["length"], scene["indices"])
+        return (
+            self._scatter_timeline(left_features, *args),
+            self._scatter_timeline(right_features, *args),
+        )
+
+    def _forward_gaze_video(self, batch: dict, training: bool):
+        """Front video features (standalone path; preprocess_batch uses the
+        merged-stream path)."""
+        front = self._prepare_front(batch)
+        (features,) = self._encode_frame_streams(
+            [(front["video"], front["precomputed"])]
+        )
+        return self._scatter_timeline(
+            features, front["batch_size"], front["length"], front["indices"]
+        )

@@ -360,7 +360,9 @@ class SwinV2Backbone(VideoBackboneModule):
         std = jnp.asarray(IMAGENET_STD, dtype=images.dtype)
         return (images - mean) / std
 
-    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+    def preprocess_frames(self, images: jnp.ndarray) -> jnp.ndarray:
+        """Augment (train-backbone mode) + resize/normalize to native
+        resolution (see vit.py — enables multi-view batched encoding)."""
         if self.train_backbone and not self.deterministic:
             from routeformer_tpu.ops.augment import photometric_augment
 
@@ -368,6 +370,12 @@ class SwinV2Backbone(VideoBackboneModule):
         x = self.preprocess(images)
         if self.compute_dtype is not None:
             x = x.astype(self.compute_dtype)
+        return x
+
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        return self.encode_frames(self.preprocess_frames(images))
+
+    def encode_frames(self, x: jnp.ndarray) -> jnp.ndarray:
         x = self.patch_embed(x)
         x = self.patch_norm(x.astype(jnp.float32)).astype(x.dtype)
         for si, stage in enumerate(self.stages):

@@ -185,8 +185,11 @@ class TimmBackbone(VideoBackboneModule):
         std = jnp.asarray(self.preset.std, dtype=images.dtype)
         return (images - mean) / std
 
-    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
-        """(N, H, W, C) frames -> (N, H', W', C') features."""
+    def preprocess_frames(self, images: jnp.ndarray) -> jnp.ndarray:
+        """Augment (train-backbone mode) + resize/normalize to the native
+        resolution. Streams of different raw resolutions become concatenable
+        after this — the split lets the model batch several views through
+        one ``encode_frames`` call."""
         if self.train_backbone and not self.deterministic:
             from routeformer_tpu.ops.augment import photometric_augment
 
@@ -194,6 +197,14 @@ class TimmBackbone(VideoBackboneModule):
         x = self.preprocess(images)
         if self.compute_dtype is not None:
             x = x.astype(self.compute_dtype)
+        return x
+
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        """(N, H, W, C) frames -> (N, H', W', C') features."""
+        return self.encode_frames(self.preprocess_frames(images))
+
+    def encode_frames(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Encoder over already-preprocessed (N, S, S, C) frames."""
         x = self.patch_embed(x)  # (N, grid, grid, width)
         n, gh, gw, c = x.shape
         x = x.reshape(n, gh * gw, c) + self.pos_embed[...].astype(x.dtype)
