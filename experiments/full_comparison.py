@@ -404,9 +404,12 @@ def main():
             metrics = trainer.training_step(batch)
             if i % 10 == 0:
                 metrics_logger.log(metrics, epoch * len(train_data) + i, "train")
-        val_metrics = {}
-        for batch in iter_batches(val_data, epoch):
-            val_metrics = trainer.eval_step(prepare(batch), "val")
+        # Epoch-level aggregation: per-sample arrays accumulate over every
+        # val batch and are bucketed once (reference full_comparison.py:
+        # 645-651 sync_dist epoch reduction) — NOT last-batch-wins.
+        val_metrics = trainer.evaluate(
+            (prepare(b) for b in iter_batches(val_data, epoch)), "val"
+        )
         metrics_logger.log(val_metrics, epoch, "val")
         ckpt.maybe_save(trainer, val_metrics, epoch)
         print(

@@ -163,15 +163,19 @@ class ParallelTrainer:
 
     # ------------------------------------------------------------------ #
 
-    def eval_step(self, batch: dict, split: str = "val") -> Dict[str, jnp.ndarray]:
-        """MC-averaged eval of every model + PCI-bucketed metrics
-        (reference full_comparison.py:553-679)."""
+    def eval_batch_raw(self, batch: dict):
+        """Per-sample MC-averaged eval arrays for one batch.
+
+        Returns ``(pcis, {model: (losses, ades, fdes)})`` with one entry per
+        sample — the raw material for epoch-level aggregation (the reference
+        logs per-step and lets Lightning's ``log_dict(sync_dist=True)``
+        average over the epoch, full_comparison.py:645-651)."""
         inp = jax.tree.map(jnp.asarray, batch["train"])
         target_gps = jnp.asarray(batch["target"]["gps"]).astype(jnp.float32)
         pcis = jnp.asarray(batch["pci"])
         epoch = jnp.asarray(self.epoch)
 
-        metrics = {}
+        raw = {}
         for name in self.model_names:
             if name not in self._eval_steps:
                 # Switch the model into eval-with-MC-sampling mode and
@@ -193,9 +197,40 @@ class ParallelTrainer:
             _, p, s = nnx.split(model, nnx.Param, ...)
 
             losses, ades, fdes = step_fn(p, s, inp, target_gps, epoch)
-            prefix = f"{split}_{name}"
+            raw[name] = (losses, ades, fdes)
+        return pcis, raw
+
+    def eval_step(self, batch: dict, split: str = "val") -> Dict[str, jnp.ndarray]:
+        """MC-averaged eval of one batch + PCI-bucketed metrics
+        (reference full_comparison.py:553-679)."""
+        return self.evaluate([batch], split)
+
+    def evaluate(self, batches, split: str = "val") -> Dict[str, jnp.ndarray]:
+        """Epoch-level eval: accumulate per-sample arrays over all batches,
+        then bucket ONCE — so the reported metric is the sample-weighted
+        epoch mean, not the last batch (the reference's
+        ``log_dict(sync_dist=True)`` epoch reduction,
+        full_comparison.py:645-651)."""
+        all_pcis = []
+        acc: Dict[str, list] = {name: [] for name in self.model_names}
+        for batch in batches:
+            pcis, raw = self.eval_batch_raw(batch)
+            all_pcis.append(np.asarray(pcis))
+            for name, arrs in raw.items():
+                acc[name].append(tuple(np.asarray(a) for a in arrs))
+        if not all_pcis:
+            return {}
+        pcis = jnp.asarray(np.concatenate(all_pcis))
+        metrics: Dict[str, jnp.ndarray] = {}
+        for name in self.model_names:
+            losses, ades, fdes = (
+                jnp.asarray(np.concatenate([t[i] for t in acc[name]]))
+                for i in range(3)
+            )
             metrics.update(
-                bucketed_eval_metrics(prefix, pcis, losses, ades, fdes, self.quartiles)
+                bucketed_eval_metrics(
+                    f"{split}_{name}", pcis, losses, ades, fdes, self.quartiles
+                )
             )
         return metrics
 
@@ -241,9 +276,7 @@ class ParallelTrainer:
                     if on_metrics:
                         on_metrics("train", epoch, i, metrics)
             if val_batches is not None:
-                val_metrics = {}
-                for batch in val_batches:
-                    val_metrics = self.eval_step(batch, "val")
+                val_metrics = self.evaluate(val_batches, "val")
                 history.append(val_metrics)
                 if on_metrics:
                     on_metrics("val", epoch, 0, val_metrics)

@@ -108,6 +108,37 @@ class TestParallelTrainer:
                 float(m1[k]), float(m2[k]), rtol=1e-6, err_msg=k
             )
 
+    def test_evaluate_aggregates_over_epoch(self, trainer):
+        """Epoch eval metric = sample-weighted mean over ALL val batches
+        (reference full_comparison.py:645-651 sync_dist epoch reduction),
+        not the last batch. Batches have different sizes and different
+        ADE levels so last-batch-wins and unweighted-mean both fail."""
+        batches = [
+            synthetic_batch(
+                s, batch_size=bs, seq_len=SEQ_LEN, pred_len=PRED_LEN
+            )
+            for s, bs in [(10, 6), (11, 4), (12, 2)]
+        ]
+        metrics = trainer.evaluate(batches, "val")
+
+        # stationary-baseline per-sample ADE is closed-form
+        per_sample = np.concatenate(
+            [
+                np.linalg.norm(
+                    b["target"]["gps"] - b["train"]["gps"][:, -1:, :], axis=-1
+                ).mean(axis=-1)
+                for b in batches
+            ]
+        )
+        expected = per_sample.mean()
+        got = float(metrics["val_stationary_baseline_ade"])
+        np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+        last_only = float(
+            trainer.evaluate([batches[-1]], "val")["val_stationary_baseline_ade"]
+        )
+        assert abs(got - last_only) > 1e-6, "epoch metric equals last batch"
+
     def test_baseline_eval_sanity(self, trainer, batch):
         """Stationary baseline ADE = mean distance from last fix to target."""
         metrics = trainer.eval_step(batch, "val")
