@@ -328,7 +328,28 @@ def main():
         max_epochs=EPOCHS,
         gradient_clip_val=2.5,
     )
-    trainer = ParallelTrainer(models, tx, ROUTEFORMER_CONFIG, quartiles=QUARTILES)
+    # Mesh-parallel lockstep (the reference's DDPStrategy across all GPUs,
+    # full_comparison.py:794,832): shard the batch over a `data` axis across
+    # every attached device; N_MODEL_SHARDS>1 adds tensor parallelism.
+    mesh = None
+    n_devices = len(jax.devices())
+    if n_devices > 1:
+        from routeformer_tpu.parallel import make_mesh
+
+        n_model = int(os.getenv("N_MODEL_SHARDS", "1"))
+        n_data = n_devices // n_model
+        if BATCH_SIZE % n_data != 0:
+            raise SystemExit(
+                f"BATCH_SIZE={BATCH_SIZE} must be divisible by the data-"
+                f"parallel degree {n_data} (devices={n_devices}, "
+                f"N_MODEL_SHARDS={n_model})"
+            )
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        print(f"mesh: data={n_data} model={n_model}")
+
+    trainer = ParallelTrainer(
+        models, tx, ROUTEFORMER_CONFIG, quartiles=QUARTILES, mesh=mesh
+    )
     ckpt = CheckpointManager(RESULTS_DIR / "checkpoints")
     metrics_logger = MetricsLogger(
         RESULTS_DIR / "logs",

@@ -6,7 +6,8 @@ from routeformer_tpu.models.video_backbone.config import (
     VideoBackboneConfig,
     VideoBackboneModule,
 )
-from routeformer_tpu.models.video_backbone.vit import DinoV2, Sam, SwinV2, TimmBackbone
+from routeformer_tpu.models.video_backbone.swin import SwinV2, SwinV2Backbone
+from routeformer_tpu.models.video_backbone.vit import DinoV2, Sam, TimmBackbone
 
 
 def __getattr__(name):
@@ -14,19 +15,12 @@ def __getattr__(name):
         from routeformer_tpu.models.video_backbone.inverseform import InverseForm
 
         return InverseForm
-    if name == "SwinV2Backbone":
-        # The faithful hierarchical SwinV2 (windowed attention, res-post-norm,
-        # cosine attention, CPB-MLP). The `SwinV2` name keeps the fast
-        # scanned-ViT encoder for the flagship bench; select the true
-        # architecture explicitly via this class.
-        from routeformer_tpu.models.video_backbone.swin import SwinV2Backbone
-
-        return SwinV2Backbone
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 __all__ = [
     "SwinV2",
+    "SwinV2Backbone",
     "DinoV2",
     "Sam",
     "TimmBackbone",

@@ -30,9 +30,22 @@ def _to_numpy(value) -> np.ndarray:
     return np.asarray(value)
 
 
-def _transpose_for_flax(torch_array: np.ndarray, flax_shape: Tuple[int, ...]):
-    """Find the layout transposition matching the flax shape."""
+def _transpose_for_flax(
+    torch_array: np.ndarray,
+    flax_shape: Tuple[int, ...],
+    flax_name: str = "",
+):
+    """Find the layout transposition matching the flax shape.
+
+    2-D arrays destined for a flax ``kernel`` are ALWAYS transposed (torch
+    Linear stores (out, in), flax (in, out)) — an exact-shape match on a
+    square matrix would otherwise silently load the untransposed weight.
+    Non-kernel 2-D targets (e.g. flax ``embedding``, torch (num, dim) in
+    the same layout) match by exact shape.
+    """
     a = torch_array
+    if a.ndim == 2 and flax_name.endswith("kernel"):
+        return a.T if a.T.shape == tuple(flax_shape) else None
     if a.shape == tuple(flax_shape):
         return a
     if a.ndim == 2 and a.T.shape == tuple(flax_shape):  # Linear kernel
@@ -80,7 +93,9 @@ def load_torch_state_dict(
             ]
         matched = None
         for cand in candidates:
-            arr = _transpose_for_flax(available[cand], variable.value.shape)
+            arr = _transpose_for_flax(
+                available[cand], variable.value.shape, flax_name
+            )
             if arr is not None:
                 matched = (cand, arr)
                 break

@@ -274,7 +274,15 @@ class SwinPreset:
 
 SWIN_PRESETS = {
     "swinv2_base": SwinPreset(),
+    # Exercises windowing, shifted windows, and one merge at minimum cost;
+    # output (4, 4, 32) matches the old test geometry.
     "swinv2_tiny_test": SwinPreset(
+        img_size=32, patch_size=4, embed_dim=16, depths=(2, 2), heads=(2, 4),
+        window=4,
+    ),
+    # Larger grid for the torch-twin parity test (multiple windows per side
+    # in BOTH stages, so the shift mask's wrap regions are non-degenerate).
+    "swinv2_parity_test": SwinPreset(
         img_size=64, patch_size=4, embed_dim=16, depths=(2, 2), heads=(2, 4),
         window=4,
     ),
@@ -386,3 +394,15 @@ class SwinV2Backbone(VideoBackboneModule):
         if not (self.train_backbone or self.unfreeze):
             x = jax.lax.stop_gradient(x)
         return x
+
+
+class SwinV2(SwinV2Backbone):
+    """Cache-separated flagship SwinV2 encoder.
+
+    The reference flagship video backbone slot
+    (``swinv2_base_window12to16_192to256``, reference
+    experiments/full_comparison.py:231-240 and
+    video_backbone/__init__.py:14-18): the subclass exists for embedding-
+    cache key separation, exactly like the reference's torchcache-wrapped
+    subclasses.
+    """

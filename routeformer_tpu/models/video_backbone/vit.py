@@ -230,10 +230,6 @@ class TimmBackbone(VideoBackboneModule):
         return x
 
 
-class SwinV2(TimmBackbone):
-    """Cache-separated SwinV2-class encoder (reference video_backbone/__init__.py:14-18)."""
-
-
 class DinoV2(TimmBackbone):
     """Cache-separated DinoV2-class encoder (reference video_backbone/__init__.py:21-25)."""
 

@@ -17,7 +17,10 @@ TPU-native design:
   + 5 stochastic forwards (full_comparison.py:654-679): in eval the only
   stochastic component is ProbSparse key sampling, so eval re-enables it
   with a reseeded stream and averages 5 forwards inside one jit;
-- DDP is replaced by the (data, model) mesh of ``routeformer_tpu.parallel``.
+- DDP is replaced by the (data, model) mesh of ``routeformer_tpu.parallel``:
+  pass ``mesh=`` and the lockstep step jits with the batch sharded over the
+  ``data`` axis and large parameters tensor-sharded over ``model`` (GSPMD
+  inserts the gradient psum that NCCL all-reduce did).
 """
 
 from typing import Callable, Dict, Optional
@@ -27,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import nnx
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from routeformer_tpu.models.layers.attention import ProbAttention
 from routeformer_tpu.score.error import ade_per_sample, fde_per_sample
@@ -74,6 +78,8 @@ class ParallelTrainer:
         config,
         quartiles: Optional[Dict[str, float]] = None,
         loss_fn: Optional[Callable] = None,
+        mesh=None,
+        min_shard_dim: int = 512,
     ):
         self.model_names = list(models.keys())
         self.config = config
@@ -81,6 +87,8 @@ class ParallelTrainer:
         self.losses = TrainingLosses.from_config(config)
         self.tx = tx
         self._loss_fn = loss_fn or self._default_loss_fn
+        self.mesh = mesh
+        self.min_shard_dim = min_shard_dim
 
         self.graphdefs = {}
         self.params = {}
@@ -93,9 +101,43 @@ class ParallelTrainer:
             self.states[name] = s
 
         self.opt_state = tx.init(self.params)
+
+        self._shardings = None
+        if mesh is not None:
+            from routeformer_tpu.parallel.mesh import MODEL_AXIS, param_spec
+
+            n_model = mesh.shape.get(MODEL_AXIS, 1)
+            to_p = lambda x: NamedSharding(  # noqa: E731
+                mesh, param_spec(x, n_model, min_shard_dim)
+            )
+            replicated = NamedSharding(mesh, P())
+            p_shard = jax.tree.map(to_p, self.params)
+            s_shard = jax.tree.map(lambda x: replicated, self.states)
+            o_shard = jax.tree.map(to_p, self.opt_state)
+            self.params = jax.tree.map(jax.device_put, self.params, p_shard)
+            self.states = jax.tree.map(jax.device_put, self.states, s_shard)
+            self.opt_state = jax.tree.map(
+                jax.device_put, self.opt_state, o_shard
+            )
+            self._shardings = (p_shard, s_shard, o_shard)
+
         self._train_step = None
         self._eval_steps = {}
         self.epoch = 0
+
+    def _place_batch(self, batch):
+        """Shard the batch dim over the mesh ``data`` axis (DDP input split,
+        reference full_comparison.py:766-768, 794)."""
+        if self.mesh is None:
+            return jax.tree.map(jnp.asarray, batch)
+        from routeformer_tpu.parallel.mesh import DATA_AXIS
+
+        def put(x):
+            x = jnp.asarray(x)
+            spec = P(DATA_AXIS, *([None] * (max(x.ndim, 1) - 1)))
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+        return jax.tree.map(put, batch)
 
     # ------------------------------------------------------------------ #
 
@@ -147,14 +189,21 @@ class ParallelTrainer:
             metrics["train_total_loss"] = total
             return final_params, new_states, new_opt, metrics
 
+        if self._shardings is not None:
+            p_shard, s_shard, o_shard = self._shardings
+            return jax.jit(
+                step,
+                in_shardings=(p_shard, s_shard, o_shard, None, None, None),
+                donate_argnums=(0, 1, 2),
+            )
         return jax.jit(step, donate_argnums=(0, 1, 2))
 
     def training_step(self, batch: dict) -> Dict[str, float]:
         """One lockstep update on one batch (reference full_comparison.py:470-531)."""
         if self._train_step is None:
             self._train_step = self._build_train_step()
-        inp = jax.tree.map(jnp.asarray, batch["train"])
-        tgt = jax.tree.map(jnp.asarray, batch["target"])
+        inp = self._place_batch(batch["train"])
+        tgt = self._place_batch(batch["target"])
         self.params, self.states, self.opt_state, metrics = self._train_step(
             self.params, self.states, self.opt_state, inp, tgt,
             jnp.asarray(self.epoch),
@@ -170,7 +219,7 @@ class ParallelTrainer:
         sample — the raw material for epoch-level aggregation (the reference
         logs per-step and lets Lightning's ``log_dict(sync_dist=True)``
         average over the epoch, full_comparison.py:645-651)."""
-        inp = jax.tree.map(jnp.asarray, batch["train"])
+        inp = self._place_batch(batch["train"])
         target_gps = jnp.asarray(batch["target"]["gps"]).astype(jnp.float32)
         pcis = jnp.asarray(batch["pci"])
         epoch = jnp.asarray(self.epoch)

@@ -148,8 +148,17 @@ def inject_gpmf_track(path: Path, payload: bytes):
     del mp4
 
 
-def build_gem_fixture(root: Path, duration_s: float = 20.0, subject: str = "001"):
-    """Write a complete synthetic GEM recording under ``root``."""
+def build_gem_fixture(
+    root: Path,
+    duration_s: float = 20.0,
+    subject: str = "001",
+    hw=(48, 64),
+):
+    """Write a complete synthetic GEM recording under ``root``.
+
+    ``hw`` sizes the GoPro/world frames — tests keep the tiny default;
+    ``tools/bench_e2e.py`` uses larger frames for a realistic decode load.
+    """
     root = Path(root)
     gopro = root / "01GoPro" / subject
     eye = root / "02EyeTracker" / subject
@@ -164,8 +173,8 @@ def build_gem_fixture(root: Path, duration_s: float = 20.0, subject: str = "001"
     payload = gpmf_stream(traj, T0)
     left = gopro / "left" / "GH010008.MP4"
     right = gopro / "right" / "GH010009.MP4"
-    write_video(left, n_frames, seed=1)
-    write_video(right, n_frames, seed=2)
+    write_video(left, n_frames, hw=hw, seed=1)
+    write_video(right, n_frames, hw=hw, seed=2)
     inject_gpmf_track(left, payload)
     inject_gpmf_track(right, payload)
 
@@ -193,7 +202,7 @@ def build_gem_fixture(root: Path, duration_s: float = 20.0, subject: str = "001"
     save_pldata_file(gaze_entries, gaze_ts, eye, "gaze")
 
     world = eye / "world.mp4"
-    write_video(world, n_frames, seed=4)
+    write_video(world, n_frames, hw=hw, seed=4)
     np.save(eye / "world_timestamps.npy", world_t0 + np.arange(n_frames) / VIDEO_FPS)
 
     save_object(

@@ -44,11 +44,11 @@ class TestSwinV2Backbone:
     def test_feature_shape_and_hierarchy(self, rng):
         model = SwinV2Backbone(tiny_cfg(), rngs=nnx.Rngs(0))
         model.eval()
-        # tiny preset: img 64, patch 4 -> 16; one merge -> 8; dims 16 -> 32
-        assert model.output_feature_shape == (8, 8, 32)
+        # tiny preset: img 32, patch 4 -> 8; one merge -> 4; dims 16 -> 32
+        assert model.output_feature_shape == (4, 4, 32)
         x = jnp.asarray(rng.uniform(size=(2, 48, 64, 3)).astype(np.float32))
         out = model(x)
-        assert out.shape == (2, 8, 8, 32)
+        assert out.shape == (2, 4, 4, 32)
         assert np.isfinite(np.asarray(out)).all()
 
     def test_frozen_by_default(self, rng):

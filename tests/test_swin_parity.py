@@ -205,7 +205,7 @@ def test_converted_weights_match_torch():
                 p.add_(0.02 * torch.randn_like(p))
 
     cfg = TimmBackboneConfig(
-        model_type="swinv2_tiny_test", cache_enabled=False,
+        model_type="swinv2_parity_test", cache_enabled=False,
         compute_dtype="float32", pad_to_square=False,
     )
     jm = SwinV2Backbone(cfg, rngs=nnx.Rngs(0))
@@ -233,7 +233,7 @@ def test_loader_rejects_shape_mismatch():
     sd = tm.state_dict()
     sd["patch_embed.proj.weight"] = torch.zeros(7, 3, 4, 4)
     cfg = TimmBackboneConfig(
-        model_type="swinv2_tiny_test", cache_enabled=False,
+        model_type="swinv2_parity_test", cache_enabled=False,
         compute_dtype="float32",
     )
     jm = SwinV2Backbone(cfg, rngs=nnx.Rngs(0))

@@ -150,6 +150,60 @@ class TestParallelTrainer:
         )
 
 
+class TestMeshLockstep:
+    """Lockstep training over a (data, model) mesh must match single-device
+    numerics (the DDP-equivalence contract, reference full_comparison.py:
+    794,832)."""
+
+    def _trainer(self, mesh=None):
+        models, cfg = make_models_and_config()
+        # Small LR: AdamW normalizes each grad to a ±lr-scale step, so for
+        # near-zero grads the reduction-order noise of the psum flips the
+        # update sign — the achievable parity bound is O(lr), not O(eps).
+        tx = build_optimizer(
+            learning_rate=1e-5, video_backbone_lr=None,
+            warmup_epochs=0, max_epochs=100, gradient_clip_val=2.5,
+        )
+        return ParallelTrainer(
+            models, tx, cfg, mesh=mesh, min_shard_dim=32
+        )
+
+    def test_mesh_matches_single_device(self):
+        from routeformer_tpu.parallel import make_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 (virtual) devices")
+        batch = synthetic_batch(3, batch_size=8, seq_len=SEQ_LEN, pred_len=PRED_LEN)
+
+        single = self._trainer(mesh=None)
+        m_single = single.training_step(batch)
+
+        mesh = make_mesh(n_data=4, n_model=2)
+        sharded = self._trainer(mesh=mesh)
+        m_mesh = sharded.training_step(batch)
+
+        np.testing.assert_allclose(
+            float(m_mesh["train_total_loss"]),
+            float(m_single["train_total_loss"]),
+            rtol=2e-5,
+        )
+        for name in single.model_names:
+            for a, b in zip(
+                jax.tree.leaves(single.params[name]),
+                jax.tree.leaves(sharded.params[name]),
+            ):
+                # worst case: one sign-flipped AdamW step = 2*lr + f32 noise
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=3e-5, err_msg=name
+                )
+
+        # eval path also runs under the mesh
+        metrics = sharded.eval_step(batch, "val")
+        assert np.isfinite(
+            float(metrics["val_Routeformer_without_video_informer_ade"])
+        )
+
+
 class TestAutoregressiveEval:
     """Regression: MC eval of an autoregressive video model must not leak
     rng-count mutations across the decode scan's trace (TraceContextError)."""

@@ -1,0 +1,206 @@
+"""End-to-end throughput: byte-real recording -> GEMDataset -> train step.
+
+The north-star metric includes the input pipeline (the reference's hot loop
+is the dataset ``__getitem__`` — video decode + undistort + windowing,
+reference ``routeformer/io/dataset.py:1045-1136``), which ``bench.py``'s
+synthetic-array step benchmark never exercises. This tool:
+
+1. synthesizes a multi-clip byte-real GEM recording (MP4 with an injected
+   GPMF GPS track, pldata gaze — ``tests/gem_fixture.py``), 270x480 @30fps
+   so that 0.2-scaling lands on the 54x96 step geometry;
+2. runs ``GEMDataset`` -> prefetching ``DataLoader`` -> flagship train step
+   with host decode overlapping device compute;
+3. reports cold (decode in the loop, sample cache filling) and warm (sample
+   cache hits) end-to-end clips/sec plus the pipeline/step split, so the
+   binding side is explicit.
+
+Usage: python tools/bench_e2e.py  (TPU; ~first compile is slow)
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+
+import jax  # noqa: E402
+
+DEBUG = os.getenv("BENCH_E2E_DEBUG", "0") == "1"
+if DEBUG:  # CPU smoke: tiny model, short recording
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+BATCH = 4 if DEBUG else 8
+DURATION_S = 60.0 if DEBUG else 240.0
+FRAME_HW = (270, 480)  # 0.2 scaling -> (54, 96), the bench.py step geometry
+
+
+def build_recording(root: Path):
+    from gem_fixture import build_gem_fixture
+
+    t0 = time.perf_counter()
+    build_gem_fixture(root, duration_s=DURATION_S, hw=FRAME_HW)
+    return time.perf_counter() - t0
+
+
+def make_dataset(root: Path, cache_dir):
+    from routeformer_tpu.io.dataset import GEMDataset
+
+    return GEMDataset(
+        root=root,
+        split=["001"],
+        input_length=8,
+        target_length=6,
+        step_size=2,
+        min_pci=None,
+        output_fps=5,
+        crop_videos=False,
+        undistort_videos=False,
+        gopro_scaling_factor=0.2,
+        front_scaling_factor=0.2,
+        with_video=True,
+        with_gaze=True,
+        use_cache=cache_dir is not None,
+        cache_dir=cache_dir,
+    )
+
+
+def main():
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_model, _flagship_config
+    from routeformer_tpu.io.loader import DataLoader
+    from routeformer_tpu.optimizers import build_optimizer
+    from routeformer_tpu.parallel import make_train_step
+    from routeformer_tpu.train import TrainingLosses, routeformer_training_loss
+
+    workdir = Path(tempfile.mkdtemp(prefix="bench_e2e_"))
+    try:
+        build_s = build_recording(workdir / "gem")
+        dataset = make_dataset(workdir / "gem", workdir / "cache")
+        loader = DataLoader(
+            dataset, batch_size=BATCH, shuffle=False, num_threads=8, prefetch=2
+        )
+        n_batches = len(loader)
+        assert n_batches >= 3, f"fixture too short: {n_batches} batches"
+
+        if DEBUG:
+            # tiny dims, dataset geometry (40-in/30-out @5 Hz)
+            from routeformer_tpu.models.gps_backbone import GPSBackboneConfig
+
+            cfg = _flagship_config(tiny=True).override(
+                gps_backbone_config=GPSBackboneConfig(
+                    seq_len=40, label_len=40, pred_len=30,
+                    d_model=32, n_heads=4, e_layers=2, d_layers=1, d_ff=64,
+                    factor=2, dropout=0.0, activation="relu", distil=True,
+                ),
+                output_fps=5, video_fps=1, gaze_fps=1,
+            )
+        else:
+            cfg = _flagship_config()
+        model = _build_model(cfg)
+        tx = build_optimizer(
+            learning_rate=1e-5, weight_decay=1e-4, video_backbone_lr=1e-6,
+            warmup_epochs=2, max_epochs=200, gradient_clip_val=2.5,
+        )
+        losses = TrainingLosses.from_config(cfg)
+
+        def loss_fn(m, inp, tgt, epoch):
+            return routeformer_training_loss(m, inp, tgt, epoch, losses)
+
+        step_fn, params, state, opt_state = make_train_step(model, tx, loss_fn)
+        epoch_idx = jnp.asarray(0)
+
+        def to_device(batch):
+            inp = {k: jnp.asarray(v) for k, v in batch["train"].items()}
+            tgt = {k: jnp.asarray(v) for k, v in batch["target"].items()}
+            return inp, tgt
+
+        def run_epoch(epoch):
+            """Returns (wall_s, n_clips, host_wait_s)."""
+            nonlocal params, state, opt_state
+            loader.set_epoch(epoch)
+            t0 = time.perf_counter()
+            host_wait = 0.0
+            n = 0
+            metrics = None
+            for batch in loader:
+                tw = time.perf_counter()
+                inp, tgt = to_device(batch)
+                host_wait += time.perf_counter() - tw
+                params, state, opt_state, metrics = step_fn(
+                    params, state, opt_state, inp, tgt, epoch_idx
+                )
+                n += inp["gps"].shape[0]
+            jax.block_until_ready(metrics)
+            return time.perf_counter() - t0, n, host_wait
+
+        # pipeline-only rate (decode, cold cache): first epoch without steps
+        t0 = time.perf_counter()
+        n_clips = 0
+        first_batch = None
+        for batch in loader:
+            if first_batch is None:
+                first_batch = batch
+            n_clips += batch["train"]["gps"].shape[0]
+        pipeline_cold_s = time.perf_counter() - t0
+        pipeline_cold = n_clips / pipeline_cold_s
+
+        # warm pipeline (sample-cache hits)
+        t0 = time.perf_counter()
+        for batch in loader:
+            pass
+        pipeline_warm = n_clips / (time.perf_counter() - t0)
+
+        # compile + step-only rate on a resident batch
+        inp, tgt = to_device(first_batch)
+        for _ in range(2):
+            params, state, opt_state, metrics = step_fn(
+                params, state, opt_state, inp, tgt, epoch_idx
+            )
+        jax.block_until_ready(metrics)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            params, state, opt_state, metrics = step_fn(
+                params, state, opt_state, inp, tgt, epoch_idx
+            )
+        jax.block_until_ready(metrics)
+        step_only = 3 * BATCH / (time.perf_counter() - t0)
+
+        # overlapped end-to-end epochs (warm cache)
+        wall, n, host_wait = run_epoch(2)
+        e2e_warm = n / wall
+
+        assert np.isfinite(float(metrics["total_loss"]))
+        print(
+            json.dumps(
+                {
+                    "metric": "flagship_e2e_clips_per_sec_per_chip",
+                    "e2e_warm_value": round(e2e_warm, 3),
+                    "pipeline_cold_clips_per_sec": round(pipeline_cold, 3),
+                    "pipeline_warm_clips_per_sec": round(pipeline_warm, 3),
+                    "step_only_clips_per_sec": round(step_only, 3),
+                    "host_wait_s_per_epoch": round(host_wait, 3),
+                    "binding_side": (
+                        "pipeline" if pipeline_warm < step_only else "step"
+                    ),
+                    "n_clips_per_epoch": n,
+                    "fixture_build_s": round(build_s, 1),
+                    "frame_hw": list(FRAME_HW),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
