@@ -11,6 +11,7 @@ recompute), and a version string for cache busting.
 import hashlib
 import os
 import pickle
+import threading
 from pathlib import Path
 from typing import Any, Callable, Optional
 
@@ -24,7 +25,14 @@ CACHE_VERSION = "1"
 
 
 class SampleCache:
-    """Disk cache of dataset samples."""
+    """Disk cache of dataset samples.
+
+    Thread-safe: the DataLoader fetches samples from a thread pool, and
+    zstandard (de)compressor objects must NOT be shared across threads —
+    concurrent use of one instance corrupts streams (observed as mass
+    cache self-healing, i.e. silent full recomputes, and segfaults). The
+    contexts are therefore thread-local.
+    """
 
     def __init__(
         self,
@@ -39,8 +47,24 @@ class SampleCache:
         self.params_repr = params_repr
         self.max_size_bytes = max_size_bytes
         self.version = version
-        self._cctx = zstandard.ZstdCompressor(level=compression_level)
-        self._dctx = zstandard.ZstdDecompressor()
+        self._compression_level = compression_level
+        self._local = threading.local()
+
+    @property
+    def _cctx(self) -> "zstandard.ZstdCompressor":
+        ctx = getattr(self._local, "cctx", None)
+        if ctx is None:
+            ctx = zstandard.ZstdCompressor(level=self._compression_level)
+            self._local.cctx = ctx
+        return ctx
+
+    @property
+    def _dctx(self) -> "zstandard.ZstdDecompressor":
+        ctx = getattr(self._local, "dctx", None)
+        if ctx is None:
+            ctx = zstandard.ZstdDecompressor()
+            self._local.dctx = ctx
+        return ctx
 
     def key(self, item_repr: str) -> str:
         """blake2b key of item identity + relevant params (reference

@@ -17,6 +17,7 @@ to keep the compiled program small.
 """
 
 import math
+import os
 from dataclasses import dataclass
 from typing import Optional, Sequence, Tuple
 
@@ -24,6 +25,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import nnx
+
+
+def _use_window_flash(batch_windows: int, tokens: int) -> bool:
+    """Dispatch window attention to the fused Pallas kernel.
+
+    Worth it when the einsum path's (B, H, N, N) f32 score tensor is large
+    (flagship: 10.5 GB at stage 1); tiny test shapes keep the XLA path,
+    which also serves CPU runs. ``ROUTEFORMER_SWIN_FLASH=0|1`` overrides.
+    """
+    mode = os.environ.get("ROUTEFORMER_SWIN_FLASH", "auto")
+    if mode == "0":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if mode == "1":
+        return True
+    return batch_windows * tokens * tokens >= 1 << 22
 
 from routeformer_tpu.models.video_backbone.config import (
     TimmBackboneConfig,
@@ -100,8 +118,25 @@ class WindowAttention(nnx.Module):
         self.coords_table = jnp.asarray(_relative_coords_table(window))
         self.rel_index = jnp.asarray(_relative_position_index(window))
 
-    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
-        """x: (B_windows, ws², C); mask: (n_windows, ws², ws²) additive."""
+    def get_bias(self) -> jnp.ndarray:
+        """(H, N, N) continuous-position bias. Hoistable: SwinStage computes
+        every scanned block's bias in ONE batched op before the scan (the
+        per-iteration gather+transpose is latency-bound, ~5 ms/block at
+        stage-2 shapes)."""
+        n = self.window * self.window
+        h = self.n_heads
+        bias_table = self.cpb_fc2(jax.nn.relu(self.cpb_fc1(self.coords_table)))
+        bias = bias_table[self.rel_index.reshape(-1)].reshape(n, n, h)
+        return 16.0 * jax.nn.sigmoid(bias.transpose(2, 0, 1))
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        bias: Optional[jnp.ndarray] = None,
+    ):
+        """x: (B_windows, ws², C); mask: (n_windows, ws², ws²) additive;
+        bias: optional precomputed ``get_bias()`` output."""
         b, n, c = x.shape
         h = self.n_heads
         qkv_bias = jnp.concatenate(
@@ -111,27 +146,51 @@ class WindowAttention(nnx.Module):
         qkv = qkv.reshape(b, n, 3, h, c // h).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, N, d)
 
-        # cosine attention
-        qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-6)
-        kn = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-6)
-        attn = jnp.einsum("bhnd,bhmd->bhnm", qn, kn).astype(jnp.float32)
         scale = jnp.exp(
             jnp.minimum(self.logit_scale[...], math.log(100.0))
-        )
-        attn = attn * scale[None]
+        ).reshape(h)
 
-        bias_table = self.cpb_fc2(jax.nn.relu(self.cpb_fc1(self.coords_table)))
-        bias = bias_table[self.rel_index.reshape(-1)].reshape(n, n, h)
-        bias = 16.0 * jax.nn.sigmoid(bias.transpose(2, 0, 1))
-        attn = attn + bias[None]
+        if bias is None:
+            bias = self.get_bias()  # (H, N, N)
 
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(b // nw, nw, h, n, n) + mask[None, :, None]
-            attn = attn.reshape(b, h, n, n)
+        if _use_window_flash(b, n):
+            # Fused Pallas path: the materialized (B, H, N, N) f32 score
+            # tensor is gigabytes at flagship frame counts (10.5 GB at
+            # stage 1 of a 672-frame step) — the kernel keeps scores in
+            # VMEM, runs all heads of a window in one grid step, and does
+            # the cosine normalization + per-head scale in-kernel so q/k
+            # stream from HBM in bf16. The (CPB + shift-mask) bias repeats
+            # every n_windows rows of the batch, exactly the kernel's
+            # bias-broadcast layout.
+            from routeformer_tpu.ops.flash_attention import (
+                flash_window_attention,
+            )
 
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+            if mask is not None:
+                full_bias = bias[None] + mask[:, None]  # (nW, H, N, N)
+            else:
+                full_bias = bias[None]  # (1, H, N, N)
+            out = flash_window_attention(
+                q, k, v, full_bias, scale, cosine=True
+            )
+        else:
+            # cosine attention
+            qn = q / jnp.maximum(
+                jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-6
+            )
+            kn = k / jnp.maximum(
+                jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-6
+            )
+            attn = jnp.einsum("bhnd,bhmd->bhnm", qn, kn).astype(jnp.float32)
+            attn = attn * scale[None, :, None, None]
+            attn = attn + bias[None]
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.reshape(b // nw, nw, h, n, n) + mask[None, :, None]
+                attn = attn.reshape(b, h, n, n)
+            attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         return self.proj(out)
 
@@ -161,8 +220,10 @@ class SwinBlock(nnx.Module):
         else:
             self.attn_mask = None
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        """x: (N, H, W, C)."""
+    def __call__(
+        self, x: jnp.ndarray, bias: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        """x: (N, H, W, C); bias: optional precomputed CPB bias."""
         n, h, w, c = x.shape
         shortcut = x
         if self.shift > 0:
@@ -170,7 +231,7 @@ class SwinBlock(nnx.Module):
         wins = window_partition(x, self.window).reshape(
             -1, self.window * self.window, c
         )
-        wins = self.attn(wins, self.attn_mask)
+        wins = self.attn(wins, self.attn_mask, bias)
         x = window_reverse(
             wins.reshape(-1, self.window, self.window, c), self.window, h, w
         )
@@ -203,8 +264,12 @@ class SwinBlockPair(nnx.Module):
             dim, n_heads, window, shift, input_hw, dtype, gelu_approximate, rngs=rngs
         )
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return self.block_b(self.block_a(x))
+    def get_biases(self):
+        return self.block_a.attn.get_bias(), self.block_b.attn.get_bias()
+
+    def __call__(self, x: jnp.ndarray, biases=None) -> jnp.ndarray:
+        bias_a, bias_b = biases if biases is not None else (None, None)
+        return self.block_b(self.block_a(x, bias_a), bias_b)
 
 
 class SwinStage(nnx.Module):
@@ -236,17 +301,26 @@ class SwinStage(nnx.Module):
         self.pairs = create_pairs(rngs)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # All scanned blocks' CPB biases in one batched op (the in-body
+        # gather+transpose is latency-bound, ~5 ms/block at stage-2 shapes)
+        # — they ride the scan as per-iteration xs.
+        @nnx.vmap(in_axes=(0,), out_axes=0)
+        def all_biases(pair):
+            return pair.get_biases()
+
+        biases = all_biases(self.pairs)
+
         if self.remat:
-            @nnx.scan(in_axes=(0, nnx.Carry), out_axes=nnx.Carry)
-            def run_pairs(pair, x):
-                return nnx.remat(SwinBlockPair.__call__)(pair, x)
+            @nnx.scan(in_axes=(0, nnx.Carry, 0), out_axes=nnx.Carry)
+            def run_pairs(pair, x, biases):
+                return nnx.remat(SwinBlockPair.__call__)(pair, x, biases)
 
         else:
-            @nnx.scan(in_axes=(0, nnx.Carry), out_axes=nnx.Carry)
-            def run_pairs(pair, x):
-                return pair(x)
+            @nnx.scan(in_axes=(0, nnx.Carry, 0), out_axes=nnx.Carry)
+            def run_pairs(pair, x, biases):
+                return pair(x, biases)
 
-        return run_pairs(self.pairs, x)
+        return run_pairs(self.pairs, x, biases)
 
 
 class PatchMerging(nnx.Module):

@@ -51,12 +51,15 @@ class ViTPreset:
     std: Tuple[float, float, float] = IMAGENET_STD
 
 
-# Geometry mirrors the reference's three timm choices
-# (full_comparison.py:231-256): SwinV2-base @256, DinoV2 ViT-B/14 @518 (we
-# use 224 for tractable probe cost; the patch grid stays square), SAM ViT-B/16.
+# Geometry mirrors the reference's timm choices (full_comparison.py:231-256):
+# DinoV2 ViT-B/14 @518 (the reference's img_size=518 — 37x37 patch grid,
+# ~5.5x the tokens of 224; pick `dinov2_base_224` when memory-constrained),
+# SAM ViT-B/16. `swinv2_base` here is the ViT-class stand-in geometry; the
+# faithful hierarchical SwinV2 lives in swin.py and owns the SwinV2 symbol.
 PRESETS = {
     "swinv2_base": ViTPreset(img_size=256, patch_size=16, width=768, depth=12, heads=12),
-    "dinov2_base": ViTPreset(img_size=224, patch_size=14, width=768, depth=12, heads=12),
+    "dinov2_base": ViTPreset(img_size=518, patch_size=14, width=768, depth=12, heads=12),
+    "dinov2_base_224": ViTPreset(img_size=224, patch_size=14, width=768, depth=12, heads=12),
     "samvit_base": ViTPreset(img_size=224, patch_size=16, width=768, depth=12, heads=12),
     # small preset for tests/debug
     "vit_tiny_test": ViTPreset(img_size=64, patch_size=16, width=32, depth=2, heads=4),

@@ -117,6 +117,218 @@ def _flash_vjp_bwd(causal, scale, residuals, g):
 flash_attention_bhle.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
+def _flash_window_kernel(
+    q_ref, k_ref, v_ref, b_ref, s_ref, o_ref, *, l_k, n_heads, d, cosine
+):
+    """Fused multi-head window attention:
+    ``softmax(scale_h * (q̂ k̂ᵀ) + bias) v`` per head (cosine mode; plain
+    ``q kᵀ`` otherwise). Scores never leave VMEM (the SwinV2 role, where the
+    materialized f32 score tensor is gigabytes), ALL heads of a window ride
+    one grid step — per-head grids drown in step overhead (window attention
+    is thousands of tiny (n², d=32) problems) — and the cosine
+    normalization runs in-kernel so q/k stream from HBM in bf16 with no
+    separate normalize pass.
+
+    Operands ride in TRANSPOSED (H*d, n) layout so the lane (minor) dim is
+    the token axis: a (n, 32)-minor layout would be lane-padded 4x, and the
+    head dim slices cheaply on sublanes.
+    """
+    n_pad = q_ref.shape[2]
+    q = q_ref[0].astype(jnp.float32).reshape(n_heads, d, n_pad)
+    k = k_ref[0].astype(jnp.float32).reshape(n_heads, d, n_pad)
+    v = v_ref[0].astype(jnp.float32).reshape(n_heads, d, n_pad)
+
+    if cosine:
+        q = q / jnp.maximum(
+            jnp.sqrt(jnp.sum(q * q, axis=1, keepdims=True)), 1e-6
+        )
+        k = k / jnp.maximum(
+            jnp.sqrt(jnp.sum(k * k, axis=1, keepdims=True)), 1e-6
+        )
+
+    # bf16 matmul inputs (f32 accumulate): full-rate MXU, and no worse
+    # than the XLA einsum path this replaces (bf16 operands there too).
+    mm_dtype = o_ref.dtype if o_ref.dtype == jnp.bfloat16 else jnp.float32
+    s = jax.lax.dot_general(
+        q.astype(mm_dtype), k.astype(mm_dtype),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (H, N_PAD, N_PAD)
+    if cosine:
+        s = s * s_ref[:, :1][..., None]
+    s = s + b_ref[0].astype(jnp.float32).reshape(n_heads, n_pad, n_pad)
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (n_heads, n_pad, n_pad), 2)
+    s = jnp.where(col_ids >= l_k, _NEG_INF, s)
+
+    s_max = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - s_max)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        v.astype(mm_dtype), p.astype(mm_dtype),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (H, d, N_PAD)
+    o_ref[0] = o.reshape(n_heads * d, n_pad).astype(o_ref.dtype)
+
+
+def _reference_window_attention(q, k, v, bias, scale, cosine):
+    """XLA twin of the window kernel (derives the backward pass)."""
+    b = q.shape[0]
+    nb = bias.shape[0]
+    qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+    if cosine:
+        qf = qf / jnp.maximum(
+            jnp.linalg.norm(qf, axis=-1, keepdims=True), 1e-6
+        )
+        kf = kf / jnp.maximum(
+            jnp.linalg.norm(kf, axis=-1, keepdims=True), 1e-6
+        )
+    s = jnp.einsum("bhnd,bhmd->bhnm", qf, kf)
+    if cosine:
+        s = s * scale[None, :, None, None]
+    s = s + jnp.tile(bias, (b // nb, 1, 1, 1))
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhnm,bhmd->bhnd", p, v.astype(jnp.float32)).astype(
+        v.dtype
+    )
+
+
+def flash_window_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray,
+    scale: jnp.ndarray = None,
+    cosine: bool = False,
+) -> jnp.ndarray:
+    """Fused biased multi-head attention on ``(B, H, N, d)`` tensors.
+
+    ``bias`` is ``(NB, H, N, N)`` with ``B % NB == 0``: batch row ``b``
+    uses ``bias[b % NB]`` — the SwinV2 layout where the window kind varies
+    fastest and the (CPB + shift-mask) bias repeats across frames.
+
+    ``cosine=True`` runs SwinV2 cosine attention in-kernel: q/k are
+    L2-normalized per token and the per-head ``scale`` (shape ``(H,)``)
+    multiplies the scores — q/k then stream from HBM in their (bf16)
+    storage dtype with no separate normalize pass.
+    """
+    if scale is None:
+        scale = jnp.ones((q.shape[1],), jnp.float32)
+    # custom_vjp doesn't apply defaults; pass every arg explicitly.
+    return _flash_window_vjp(q, k, v, bias, scale, cosine)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _flash_window_vjp(q, k, v, bias, scale, cosine):
+    return _flash_window_forward(q, k, v, bias, scale, cosine)
+
+
+def _flash_window_vjp_fwd(q, k, v, bias, scale, cosine):
+    # fwd receives args in their original order (nondiff included);
+    # only bwd gets the nondiff args as leading arguments.
+    return (
+        _flash_window_forward(q, k, v, bias, scale, cosine),
+        (q, k, v, bias, scale),
+    )
+
+
+def _flash_window_vjp_bwd(cosine, residuals, g):
+    q, k, v, bias, scale = residuals
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, b_, s_: _reference_window_attention(
+            q_, k_, v_, b_, s_, cosine
+        ),
+        q, k, v, bias, scale,
+    )
+    return vjp(g)
+
+
+_flash_window_vjp.defvjp(_flash_window_vjp_fwd, _flash_window_vjp_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("cosine",))
+def _flash_window_forward(q, k, v, bias, scale, cosine):
+    # Operands are transposed to (B, H*d, N) so the lane (minor) dim is the
+    # token axis: window-attention head dims are 32, and an (N, 32)-minor
+    # f32 layout is lane-padded 4x in HBM (gigabytes at SwinV2 stage-1
+    # frame counts). H*d rides as sublanes, sliced per head in-kernel.
+    b, h, n, d = q.shape
+    nb = bias.shape[0]
+    assert b % nb == 0, f"batch {b} not a multiple of bias batch {nb}"
+    reps = b // nb
+
+    n_pad = _round_up(n, 128)
+
+    def to_t(x):
+        x = x.transpose(0, 1, 3, 2).reshape(b, h * d, n)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n)))
+
+    qt, kt, vt = to_t(q), to_t(k), to_t(v)
+    bp = jnp.pad(
+        bias.astype(jnp.float32),
+        ((0, 0), (0, 0), (0, n_pad - n), (0, n_pad - n)),
+    ).reshape(nb, h * n_pad, n_pad)
+    if scale is None:
+        scale = jnp.ones((h,), jnp.float32)
+    sp = jnp.broadcast_to(
+        scale.astype(jnp.float32).reshape(h, 1), (h, 128)
+    )
+
+    # Grid (window-kind, repeat) with repeat fastest: the bias block index
+    # is constant across consecutive repeat steps, so Mosaic elides its
+    # re-fetch — the (H*N, N) f32 bias tile is the largest operand and is
+    # shared by every `reps`-th batch row.
+    grid = (nb, reps)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_window_kernel, l_k=n, n_heads=h, d=d, cosine=cosine
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h * d, n_pad), v.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, h * d, n_pad),
+                lambda w, r, nb=nb: (r * nb + w, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, h * d, n_pad),
+                lambda w, r, nb=nb: (r * nb + w, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, h * d, n_pad),
+                lambda w, r, nb=nb: (r * nb + w, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, h * n_pad, n_pad),
+                lambda w, r: (w, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (h, 128),
+                lambda w, r: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h * d, n_pad),
+            lambda w, r, nb=nb: (r * nb + w, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * n_pad * n_pad * 2 * d,
+            bytes_accessed=4 * b * 3 * h * d * n_pad + 4 * nb * h * n_pad * n_pad,
+            transcendentals=b * h * n_pad * n_pad,
+        ),
+    )(qt, kt, vt, bp, sp)
+
+    return out.reshape(b, h, d, n_pad)[:, :, :, :n].transpose(0, 1, 3, 2)
+
+
 @functools.partial(jax.jit, static_argnames=("causal", "scale"))
 def _flash_forward(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, causal: bool, scale: float

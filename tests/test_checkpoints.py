@@ -175,3 +175,56 @@ class TestStitcher:
         ext = canvas[:, w : w + shift]
         err = np.abs(ext[10:-10, 5:-5] - pano[10:-10, w + 5 : w + shift - 5])
         assert err.mean() < 0.02, err.mean()
+
+    def test_orb_homography_reprojection_bound(self):
+        """Quantify the ORB-for-LoFTR substitution (round-1 VERDICT item 10):
+        on a textured frame pair related by a KNOWN perspective homography,
+        the stitcher's estimate must reproject within ~1 px on average.
+
+        Where ORB falls short of LoFTR (documented bound, not covered
+        here): low-texture road scenes and repetitive structures — LoFTR's
+        dense learned matching still finds correspondences there, ORB's
+        corner detector may not (the estimate() raises with <4 matches and
+        the dataset falls back to unstitched views)."""
+        import cv2
+
+        from routeformer_tpu.io.stitcher import ImageStitcher
+
+        h, w = 240, 320
+        r = np.random.default_rng(1)
+        # richly textured scene: smoothed noise + speckle
+        base = cv2.GaussianBlur(
+            r.uniform(size=(h, w, 3)).astype(np.float32), (0, 0), 1.5
+        )
+        base = np.clip(base + (r.uniform(size=base.shape) > 0.985), 0, 1)
+
+        # ground-truth homography: right coords -> left coords
+        h_true = np.array(
+            [
+                [1.02, 0.015, -55.0],
+                [-0.01, 1.01, 3.0],
+                [1e-5, -2e-5, 1.0],
+            ]
+        )
+        # right(x) = left(H_true @ x)
+        right = cv2.warpPerspective(
+            base, np.linalg.inv(h_true), (w, h), flags=cv2.INTER_LINEAR
+        )
+
+        stitcher = ImageStitcher()
+        h_est = stitcher.estimate(base, right)
+
+        # reprojection error over right-image points that land inside left
+        ys, xs = np.mgrid[10:h:10, 10:w:10].astype(np.float64)
+        pts = np.stack([xs.ravel(), ys.ravel(), np.ones(xs.size)], axis=-1)
+        p_true = pts @ h_true.T
+        p_true = p_true[:, :2] / p_true[:, 2:3]
+        p_est = pts @ h_est.T
+        p_est = p_est[:, :2] / p_est[:, 2:3]
+        inside = (
+            (p_true[:, 0] >= 0) & (p_true[:, 0] < w)
+            & (p_true[:, 1] >= 0) & (p_true[:, 1] < h)
+        )
+        err = np.linalg.norm(p_true[inside] - p_est[inside], axis=-1)
+        assert err.mean() < 1.0, f"mean reprojection {err.mean():.2f}px"
+        assert np.median(err) < 0.8, f"median reprojection {np.median(err):.2f}px"

@@ -77,6 +77,36 @@ class TestDataLoader:
             list(loader)
 
 
+class TestSampleCacheThreadSafety:
+    def test_concurrent_fetch_no_selfheal(self, tmp_path):
+        """zstd contexts must be thread-local: sharing one decompressor
+        across the DataLoader's thread pool corrupted streams, which the
+        self-heal path silently turned into full recomputes (and
+        occasionally segfaults)."""
+        from multiprocessing.pool import ThreadPool
+
+        from routeformer_tpu.io.cache import SampleCache
+
+        cache = SampleCache(tmp_path / "c")
+        payloads = {
+            f"item{i}": np.arange(i, i + 50000, dtype=np.float32)
+            for i in range(32)
+        }
+        for k, v in payloads.items():
+            assert cache.push(k, v)
+
+        def fetch(k):
+            out = cache.fetch(k)
+            assert out is not None, f"cache miss (self-heal) for {k}"
+            return k, out
+
+        for _ in range(3):  # repeat: corruption was probabilistic
+            with ThreadPool(8) as pool:
+                results = pool.map(fetch, list(payloads) * 4)
+            for k, out in results:
+                np.testing.assert_array_equal(out, payloads[k])
+
+
 class TestProfiling:
     def test_time_it_and_summary(self):
         reset_timing()

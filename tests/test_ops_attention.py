@@ -80,6 +80,80 @@ class TestFlashKernel:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+class TestBiasedFlashKernel:
+    def test_interpret_matches_einsum(self, rng):
+        """Window kernel (interpret mode) vs the plain einsum formulation,
+        with the SwinV2 bias-broadcast layout: batch row b uses
+        bias[b % NB]."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from routeformer_tpu.ops.flash_attention import flash_window_attention
+
+        reps, nb, h, n, d = 3, 4, 2, 16, 8
+        b = reps * nb
+        q = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=(nb, h, n, n)).astype(np.float32))
+
+        s = jnp.einsum("bhnd,bhmd->bhnm", q, k) + jnp.tile(bias, (reps, 1, 1, 1))
+        ref = jnp.einsum("bhnm,bhmd->bhnd", jax.nn.softmax(s, axis=-1), v)
+
+        with pltpu.force_tpu_interpret_mode():
+            got = flash_window_attention(q, k, v, bias)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    def test_grads_match_einsum(self, rng):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from routeformer_tpu.ops.flash_attention import flash_window_attention
+
+        q = jnp.asarray(rng.normal(size=(4, 2, 8, 8)).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=(2, 2, 8, 8)).astype(np.float32))
+
+        def loss_flash(q, bias):
+            with pltpu.force_tpu_interpret_mode():
+                return (flash_window_attention(q, q, q, bias) ** 2).sum()
+
+        def loss_ref(q, bias):
+            s = jnp.einsum("bhnd,bhmd->bhnm", q, q) + jnp.tile(
+                bias, (2, 1, 1, 1)
+            )
+            out = jnp.einsum(
+                "bhnm,bhmd->bhnd", jax.nn.softmax(s, axis=-1), q
+            )
+            return (out**2).sum()
+
+        gq, gb = jax.grad(loss_flash, argnums=(0, 1))(q, bias)
+        rq, rb = jax.grad(loss_ref, argnums=(0, 1))(q, bias)
+        np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), atol=1e-3)
+
+    def test_window_attention_flash_path_matches(self, rng, monkeypatch):
+        """SwinV2 WindowAttention: flash path == einsum path (interpret)."""
+        from jax.experimental.pallas import tpu as pltpu
+        from flax import nnx
+
+        from routeformer_tpu.models.video_backbone.swin import (
+            WindowAttention,
+            _shift_attn_mask,
+        )
+
+        attn = WindowAttention(16, 4, 2, rngs=nnx.Rngs(0))
+        x = jnp.asarray(rng.normal(size=(8, 16, 16)).astype(np.float32))
+        mask = jnp.asarray(_shift_attn_mask(8, 8, 4, 2))
+
+        monkeypatch.setenv("ROUTEFORMER_SWIN_FLASH", "0")
+        ref = attn(x, mask)
+        monkeypatch.setenv("ROUTEFORMER_SWIN_FLASH", "1")
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        with pltpu.force_tpu_interpret_mode():
+            got = attn(x, mask)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4
+        )
+
+
 class TestProbSparse:
     def test_full_u_equals_dense(self, rng):
         """When u == L_q (small L, large factor), every query is selected and

@@ -35,8 +35,12 @@ import jax  # noqa: E402
 DEBUG = os.getenv("BENCH_E2E_DEBUG", "0") == "1"
 if DEBUG:  # CPU smoke: tiny model, short recording
     jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+else:
+    # TPU only: the cache holds AOT results from the remote-compile host,
+    # whose CPU features differ from this machine — loading them in a CPU
+    # process SIGSEGVs (cpu_aot_loader feature mismatch).
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BATCH = 4 if DEBUG else 8
 DURATION_S = 60.0 if DEBUG else 240.0
