@@ -14,6 +14,7 @@ parameter tree:
   (out, in, k) -> (k, in, out).
 """
 
+import re
 from typing import Dict, Tuple
 
 import numpy as np
@@ -68,16 +69,24 @@ def load_torch_state_dict(
 
     Returns (n_loaded, n_total_params). Unmatched parameters keep their
     initialization (logged), mirroring the reference's tolerant loader.
+    BatchNorm running statistics load too (flax ``mean``/``var`` BatchStats
+    <- torch ``running_mean``/``running_var``) — essential for trained
+    segmentation trunks used in eval mode.
     """
-    flat = nnx.to_flat_state(nnx.state(module, nnx.Param))
+    flat = nnx.to_flat_state(nnx.state(module, (nnx.Param, nnx.BatchStat)))
     available = {k: _to_numpy(v) for k, v in state_dict.items()}
 
     def norm(name: str) -> str:
-        return (
-            name.replace("kernel", "weight")
-            .replace("scale", "weight")
-            .replace("/", ".")
-        )
+        name = name.replace("/", ".")
+        if name.endswith(".kernel"):
+            name = name[: -len("kernel")] + "weight"
+        if name.endswith(".scale"):
+            name = name[: -len("scale")] + "weight"
+        if name.endswith(".mean"):
+            name = name[: -len("mean")] + "running_mean"
+        if name.endswith(".var"):
+            name = name[: -len("var")] + "running_var"
+        return name
 
     loaded = 0
     updates = []
@@ -252,6 +261,61 @@ def load_timm_swin(backbone, state_dict: Dict[str, np.ndarray]) -> int:
 
     logger.info("loaded %d SwinV2 params", loaded)
     return loaded
+
+
+_HRNET_TRANSITION_CHAIN = re.compile(
+    r"^(transition\d)\.(\d+)\.(\d+)\.([01])\.(.+)$"
+)
+_HRNET_TRANSITION_SIMPLE = re.compile(r"^(transition\d)\.(\d+)\.([01])\.(.+)$")
+_HRNET_FUSE_CHAIN = re.compile(
+    r"^(stage\d\.\d+)\.fuse_layers\.(\d+)\.(\d+)\.(\d+)\.([01])\.(.+)$"
+)
+_HRNET_FUSE_SIMPLE = re.compile(
+    r"^(stage\d\.\d+)\.fuse_layers\.(\d+)\.(\d+)\.([01])\.(.+)$"
+)
+
+
+def _translate_hrnet_key(key: str) -> str:
+    """torch hrnetv2 state-dict name -> this package's HRNet-16 path.
+
+    The structures match one-to-one; only the Sequential flattenings
+    differ: torch nests Sequential(Sequential(conv, bn, relu), ...) where
+    this port uses one indexed conv/bn dict, and fuse layer (i, j) pairs
+    are dict keys ``i_j``.
+    """
+    for prefix in ("model.", "module.", "backbone."):
+        if key.startswith(prefix):
+            key = key[len(prefix):]
+    m = _HRNET_TRANSITION_CHAIN.match(key)
+    if m:
+        t, i, k, c, rest = m.groups()
+        return f"{t}.mods.{i}.mods.{2 * int(k) + int(c)}.{rest}"
+    m = _HRNET_TRANSITION_SIMPLE.match(key)
+    if m:
+        t, i, c, rest = m.groups()
+        return f"{t}.mods.{i}.mods.{c}.{rest}"
+    m = _HRNET_FUSE_CHAIN.match(key)
+    if m:
+        stage, i, j, k, c, rest = m.groups()
+        return f"{stage}.fuse_layers.{i}_{j}.mods.{2 * int(k) + int(c)}.{rest}"
+    m = _HRNET_FUSE_SIMPLE.match(key)
+    if m:
+        stage, i, j, c, rest = m.groups()
+        return f"{stage}.fuse_layers.{i}_{j}.{c}.{rest}"
+    return key
+
+
+def load_hrnet_torch(module: nnx.Module, state_dict: Dict) -> Tuple[int, int]:
+    """Load a torch hrnetv2/LightHRNet state dict into ``HighResolutionNet16``
+    (the ``hr16s_4k_slim.pth`` trunk; reference InverseForm.py:94-133 plays
+    this fuzzy-remapping role)."""
+    translated = {
+        _translate_hrnet_key(k): v
+        for k, v in state_dict.items()
+        if "num_batches_tracked" not in k
+        and not any(p in k for p in ("hrhead", "aux_head", "edge", "ocr"))
+    }
+    return load_torch_state_dict(module, translated, fuzzy=False)
 
 
 def load_torch_checkpoint(module: nnx.Module, path, fuzzy: bool = True):

@@ -1,17 +1,26 @@
-"""InverseForm video backbone: light HRNet segmentation trunk (Flax NNX).
+"""InverseForm video backbone: HRNet-16 segmentation trunk (Flax NNX).
 
 Capability parity with reference
-``routeformer/models/video_backbone/InverseForm.py:12-181`` and its vendored
-LightHRNet (``inverse_form_layers/lighthrnet.py:43``): a small
-high-resolution network maintaining parallel multi-resolution branches with
-cross-resolution fusion, used as a frozen feature extractor with an adaptive
-average-pool to 8x8 (InverseForm.py:69-75 unfreezes the last stage when
-training; :94-133 is a fuzzy checkpoint loader — see
-``video_backbone/convert.py`` for the torch->flax equivalent; the GitHub
-checkpoint download (:44-49) has no offline equivalent, weights import via
-``convert``).
+``routeformer/models/video_backbone/InverseForm.py:12-181``: the Qualcomm
+InverseForm checkpoint's LightHRNet-16 trunk used as a feature extractor —
+the 240-channel multi-resolution concat adaptive-average-pooled to 8x8
+(InverseForm.py:67-69). The trunk itself is the faithful HR16 architecture
+(``hrnet.py``; vendored ``inverse_form_layers/hrnetv2.py`` +
+``lighthrnet.py`` in the reference).
+
+- Partial unfreezing: when training, everything except stage 4 stays frozen
+  (reference InverseForm.py:69-75) — expressed functionally as a
+  stop_gradient before stage 4.
+- Checkpoint loading: the reference fuzzy-remaps ``hr16s_4k_slim.pth``
+  (InverseForm.py:94-133); here ``configs.model_path`` (when the file
+  exists) loads through ``convert.load_torch_checkpoint``, whose fuzzy
+  name matching plays the same role. The GitHub download (:44-49) has no
+  offline equivalent (zero egress).
+- No minibatch loop (reference :166-173): XLA pipelines the whole flattened
+  frame batch.
 """
 
+from pathlib import Path
 from typing import Optional, Tuple
 
 import jax
@@ -22,79 +31,15 @@ from routeformer_tpu.models.video_backbone.config import (
     InverseFormBackboneConfig,
     VideoBackboneModule,
 )
+from routeformer_tpu.models.video_backbone.hrnet import HighResolutionNet16
+from routeformer_tpu.utils.logging import get_logger
 
-
-class ConvBNReLU(nnx.Module):
-    def __init__(self, c_in, c_out, kernel=3, stride=1, *, rngs: nnx.Rngs):
-        self.conv = nnx.Conv(
-            c_in, c_out, kernel_size=(kernel, kernel), strides=(stride, stride),
-            padding="SAME", use_bias=False, rngs=rngs,
-        )
-        self.bn = nnx.BatchNorm(c_out, momentum=0.9, epsilon=1e-5, rngs=rngs)
-
-    def __call__(self, x):
-        return jax.nn.relu(self.bn(self.conv(x)))
-
-
-class HRBlock(nnx.Module):
-    """Two 3x3 convs with residual (a light basic block)."""
-
-    def __init__(self, c, *, rngs: nnx.Rngs):
-        self.conv1 = ConvBNReLU(c, c, rngs=rngs)
-        self.conv2 = nnx.Conv(
-            c, c, kernel_size=(3, 3), padding="SAME", use_bias=False, rngs=rngs
-        )
-        self.bn2 = nnx.BatchNorm(c, momentum=0.9, epsilon=1e-5, rngs=rngs)
-
-    def __call__(self, x):
-        y = self.conv1(x)
-        y = self.bn2(self.conv2(y))
-        return jax.nn.relu(x + y)
-
-
-class HRStage(nnx.Module):
-    """Parallel branches + all-to-all fusion (the HRNet exchange unit)."""
-
-    def __init__(self, widths, *, rngs: nnx.Rngs):
-        self.widths = list(widths)
-        self.blocks = nnx.List([HRBlock(c, rngs=rngs) for c in widths])
-        # fusion projections i->j for i != j
-        self.fuse = nnx.Dict(
-            {
-                f"{i}_{j}": nnx.Conv(
-                    widths[i], widths[j], kernel_size=(1, 1), use_bias=False,
-                    rngs=rngs,
-                )
-                for i in range(len(widths))
-                for j in range(len(widths))
-                if i != j
-            }
-        )
-
-    def __call__(self, features):
-        features = [blk(f) for blk, f in zip(self.blocks, features)]
-        fused = []
-        for j, fj in enumerate(features):
-            acc = fj
-            h, w = fj.shape[1:3]
-            for i, fi in enumerate(features):
-                if i == j:
-                    continue
-                proj = self.fuse[f"{i}_{j}"](fi)
-                if proj.shape[1] != h or proj.shape[2] != w:
-                    proj = jax.image.resize(
-                        proj, (proj.shape[0], h, w, proj.shape[3]), "bilinear"
-                    )
-                acc = acc + proj
-            fused.append(jax.nn.relu(acc))
-        return fused
+logger = get_logger("video_backbone.inverseform")
 
 
 class InverseForm(VideoBackboneModule):
-    """LightHRNet-16-class multi-resolution trunk."""
+    """HRNet-16 trunk + adaptive 8x8 pool feature extractor."""
 
-    WIDTHS = (16, 32, 64)
-    N_STAGES = 4
     POOL_HW = (8, 8)
 
     def __init__(
@@ -105,57 +50,52 @@ class InverseForm(VideoBackboneModule):
         self.train_backbone = configs.train_backbone
         self.unfreeze = False
 
-        w = self.WIDTHS
-        self.stem1 = ConvBNReLU(3, w[0], stride=2, rngs=rngs)
-        self.stem2 = ConvBNReLU(w[0], w[0], stride=2, rngs=rngs)
-        self.down1 = ConvBNReLU(w[0], w[1], stride=2, rngs=rngs)
-        self.down2 = ConvBNReLU(w[1], w[2], stride=2, rngs=rngs)
-        self.stages = nnx.List(
-            [HRStage(w, rngs=rngs) for _ in range(self.N_STAGES)]
-        )
-        total = sum(w)
-        self.head = ConvBNReLU(total, total, kernel=1, rngs=rngs)
-        self._out_c = total
+        self.backbone = HighResolutionNet16(rngs=rngs)
+        self._out_c = self.backbone.high_level_ch  # 240
+
+        model_path = getattr(configs, "model_path", None)
+        if model_path and Path(model_path).exists():
+            import torch
+
+            from routeformer_tpu.models.video_backbone.convert import (
+                load_hrnet_torch,
+            )
+
+            state = torch.load(model_path, map_location="cpu", weights_only=True)
+            if isinstance(state, dict) and "state_dict" in state:
+                state = state["state_dict"]
+            n_loaded, n_total = load_hrnet_torch(self.backbone, state)
+            logger.info(
+                "InverseForm checkpoint %s: %d/%d params loaded",
+                model_path, n_loaded, n_total,
+            )
 
     @property
     def output_feature_shape(self) -> Tuple[int, int, int]:
         return (*self.POOL_HW, self._out_c)
 
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
-        """(N, H, W, C) in [0,1] -> (N, 8, 8, C') features."""
-        x = self.stem2(self.stem1(images))
-        feats = [x, self.down1(x), self.down2(self.down1(x))]
+        """(N, H, W, C) in [0,1] -> (N, 8, 8, 240) features.
 
-        def run_stage(feats, stage):
-            return stage(feats)
+        The reference feeds raw (un-normalized) float images
+        (InverseForm.py:157-159) — preserved.
+        """
+        images = images.astype(jnp.float32)
+        trainable = self.train_backbone or self.unfreeze
+        feats = self.backbone(
+            images, stop_before_stage4=trainable
+        )
 
-        # The reference unfreezes only stage4 when training
-        # (InverseForm.py:69-75): freeze everything up to the last stage.
-        n = len(self.stages)
-        for i, stage in enumerate(self.stages):
-            feats = run_stage(feats, stage)
-            if not (self.train_backbone or self.unfreeze) or i < n - 1:
-                if not self.train_backbone and not self.unfreeze:
-                    feats = [jax.lax.stop_gradient(f) for f in feats]
-
-        # upsample all branches to the finest resolution + concat
-        h, w = feats[0].shape[1:3]
-        up = [feats[0]] + [
-            jax.image.resize(f, (f.shape[0], h, w, f.shape[3]), "bilinear")
-            for f in feats[1:]
-        ]
-        out = self.head(jnp.concatenate(up, axis=-1))
-
-        # adaptive average pool to POOL_HW (reference AdaptiveAvgPool 8x8)
+        # adaptive average pool to POOL_HW (reference AdaptiveAvgPool2d 8x8)
         ph, pw = self.POOL_HW
-        n_, fh, fw, c = out.shape
+        n, fh, fw, c = feats.shape
         if fh % ph == 0 and fw % pw == 0:
             ky, kx = fh // ph, fw // pw
-            out = out.reshape(n_, ph, ky, pw, kx, c).mean(axis=(2, 4))
+            out = feats.reshape(n, ph, ky, pw, kx, c).mean(axis=(2, 4))
         else:
             # non-divisible (or smaller) feature maps: bilinear resample to
             # the pooled grid
-            out = jax.image.resize(out, (n_, ph, pw, c), method="bilinear")
-        if not self.train_backbone and not self.unfreeze:
+            out = jax.image.resize(feats, (n, ph, pw, c), method="bilinear")
+        if not trainable:
             out = jax.lax.stop_gradient(out)
         return out

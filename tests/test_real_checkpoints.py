@@ -92,6 +92,29 @@ def test_load_real_dinov2_checkpoint():
 
 
 @pytest.mark.skipif(
+    _find("*hr16*") is None,
+    reason=f"no hr16s checkpoint under {CKPT_DIR}",
+)
+def test_load_real_inverseform_checkpoint():
+    """The published Qualcomm hr16s_4k_slim.pth trunk
+    (reference InverseForm.py:44-49 download URL)."""
+    from routeformer_tpu.models.video_backbone import (
+        InverseForm,
+        InverseFormBackboneConfig,
+    )
+
+    cfg = InverseFormBackboneConfig(
+        cache_enabled=False, model_path=str(_find("*hr16*"))
+    )
+    model = InverseForm(cfg, rngs=nnx.Rngs(0))
+    model.eval()
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 224, 224, 3), jnp.float32)
+    out = model(x)
+    assert out.shape == (1, 8, 8, 240)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.skipif(
     _find("*samvit*") is None,
     reason=f"no samvit checkpoint under {CKPT_DIR}",
 )
