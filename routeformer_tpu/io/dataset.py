@@ -676,10 +676,17 @@ class GEMDataset:
         return data, start_posix, end_posix
 
     def _preprocess_gopro(self, left_video, right_video):
-        """Undistort + crop on device (reference :1293-1338, batched)."""
-        import jax.numpy as jnp
+        """Undistort + crop, host-side (reference :1293-1338).
 
-        from routeformer_tpu.ops.image import crop_horizontal, undistort_video
+        Runs in DataLoader threads with cv2 (GIL-released) — the device
+        kernels in ``ops/image.py`` stay cv2-parity-tested twins for
+        on-device pipelines, but shipping every sample's frames through the
+        device transfer path here would serialize against the train step
+        (measured ~20 s/sample through the TPU tunnel)."""
+        from routeformer_tpu.ops.image import (
+            crop_horizontal,
+            undistort_video_numpy,
+        )
 
         out = []
         for video, K, D in (
@@ -691,12 +698,12 @@ class GEMDataset:
             if video.size == 0:
                 out.append(video)
                 continue
-            frames = jnp.asarray(video, dtype=jnp.float32)
+            frames = video
             if self.undistort_videos:
-                frames = undistort_video(frames, K, D)
+                frames = undistort_video_numpy(frames, K, D)
             if self.crop_videos:
-                frames = crop_horizontal(frames, 0.3, 0.7)
-            out.append(np.asarray(frames).astype(video.dtype))
+                frames = np.ascontiguousarray(crop_horizontal(frames, 0.3, 0.7))
+            out.append(frames)
         return out[0], out[1]
 
     def _get_gaze_data(self, subject, gaze_metadata, start_posix, end_posix):
@@ -723,17 +730,13 @@ class GEMDataset:
         if video_data["video"].size:
             frames = video_data["video"]
             if self.undistort_videos:
-                import jax.numpy as jnp
+                from routeformer_tpu.ops.image import undistort_video_numpy
 
-                from routeformer_tpu.ops.image import undistort_video
-
-                frames = np.asarray(
-                    undistort_video(
-                        jnp.asarray(frames, dtype=jnp.float32),
-                        gaze_metadata["camera_matrix"],
-                        gaze_metadata["dist_coefs"],
-                    )
-                ).astype(frames.dtype)
+                frames = undistort_video_numpy(
+                    frames,
+                    gaze_metadata["camera_matrix"],
+                    gaze_metadata["dist_coefs"],
+                )
             data["video"] = frames
         return data
 
@@ -798,9 +801,9 @@ class GEMDataset:
         return data
 
     def _apply_scaling(self, data):
-        import jax.numpy as jnp
-
-        from routeformer_tpu.ops.image import resize_video
+        # Host-side cv2 resize (see _preprocess_gopro: the device kernel
+        # twin would route every sample through the device transfer path).
+        from routeformer_tpu.ops.image import resize_video_numpy
 
         jobs = []
         if self.gopro_scaling_factor != 1:
@@ -814,9 +817,7 @@ class GEMDataset:
                 continue
             h, w = video.shape[1:3]
             out_hw = (int(h * factor), int(w * factor))
-            data[key] = np.asarray(
-                resize_video(jnp.asarray(video, dtype=jnp.float32), out_hw)
-            ).astype(video.dtype)
+            data[key] = resize_video_numpy(video, out_hw)
         return data
 
     def _convert_to_float16(self, data):

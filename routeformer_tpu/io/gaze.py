@@ -211,13 +211,24 @@ def gaze_dispersion(
     if method is FixationDetectionMethod.GAZE_3D:
         vectors = np.array([gp["gaze_point_3d"] for _, gp in gaze_subset])
     elif method is FixationDetectionMethod.GAZE_2D:
-        locations = np.array(
-            [gp["norm_pos"] for _, gp in gaze_subset], dtype=np.float64
-        )
-        width, height = capture["frame_size"]
-        locations[:, 0] *= width
-        locations[:, 1] = (1.0 - locations[:, 1]) * height
-        vectors = capture["_camera"].unprojectPoints(locations)
+        precomputed = capture.get("_unprojected")
+        if precomputed is not None:
+            # detect_fixations unprojects every point ONCE up front;
+            # re-unprojecting each sliding-window slice (the reference's
+            # structure) costs 40 fixed-point iterations per call and
+            # dominated dataset init. Identical math: unprojection is
+            # per-point.
+            vectors = np.array(
+                [precomputed[idx] for idx, _ in gaze_subset]
+            )
+        else:
+            locations = np.array(
+                [gp["norm_pos"] for _, gp in gaze_subset], dtype=np.float64
+            )
+            width, height = capture["frame_size"]
+            locations[:, 0] *= width
+            locations[:, 1] = (1.0 - locations[:, 1]) * height
+            vectors = capture["_camera"].unprojectPoints(locations)
     else:
         raise ValueError(f"Unknown method '{method}'")
     return vector_dispersion(vectors)
@@ -250,6 +261,19 @@ def detect_fixations(
     if not filtered:
         logger.warning("No data available to find fixations")
         return "Fixation detection failed", ()
+
+    # Unproject all confident points in one batched call (see
+    # gaze_dispersion: per-window re-unprojection dominated dataset init).
+    locations = np.array(
+        [d["norm_pos"] for _, d in filtered], dtype=np.float64
+    )
+    width, height = capture["frame_size"]
+    locations[:, 0] *= width
+    locations[:, 1] = (1.0 - locations[:, 1]) * height
+    all_vectors = capture["_camera"].unprojectPoints(locations)
+    capture["_unprojected"] = {
+        idx: all_vectors[i] for i, (idx, _) in enumerate(filtered)
+    }
 
     working: deque = deque()
     remaining: deque = deque(filtered)

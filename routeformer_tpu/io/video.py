@@ -43,15 +43,33 @@ def read_video(
         if start_sec > 0:
             cap.set(cv2.CAP_PROP_POS_MSEC, start_sec * 1000.0)
 
+        # FPS reduction by slicing (reference dataset.py:2190-2199) — the
+        # stride filter runs inside the decode loop so dropped frames skip
+        # the BGR->RGB conversion and copy (5 of 6 frames at 30->5 Hz).
+        stride = 1
+        if output_fps is not None and output_fps < fps:
+            stride = int(round(fps / output_fps))
+
         frames = []
+        decoded = 0
         while True:
             pos_ms = cap.get(cv2.CAP_PROP_POS_MSEC)
+            if stride > 1 and decoded % stride != 0:
+                # grab() decodes without returning the frame buffer
+                if not cap.grab():
+                    break
+                t = pos_ms / 1000.0
+                if t >= end_sec:
+                    break
+                decoded += 1
+                continue
             ret, frame = cap.read()
             if not ret:
                 break
             t = pos_ms / 1000.0
             if t >= end_sec:
                 break
+            decoded += 1
             frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
     finally:
         cap.release()
@@ -62,9 +80,4 @@ def read_video(
         )
         return {"video": np.zeros((0, 0, 0, 3), dtype=np.uint8), "fps": fps}
 
-    video = np.stack(frames)
-    if output_fps is not None and output_fps < fps:
-        # FPS reduction by slicing (reference dataset.py:2190-2199).
-        stride = int(round(fps / output_fps))
-        video = video[::stride]
-    return {"video": video, "fps": fps}
+    return {"video": np.stack(frames), "fps": fps}

@@ -132,3 +132,62 @@ def crop_horizontal(
 def to_float16(frames) -> jnp.ndarray:
     """uint8 [0,255] -> float16 [0,1] (reference :1506-1523)."""
     return (jnp.asarray(frames).astype(jnp.float32) / 255.0).astype(jnp.float16)
+
+
+# --------------------------------------------------------------------------- #
+# Host-side (cv2) twins for the dataset's threaded input path.
+#
+# The device kernels above serve on-device pipelines and are cv2-parity
+# tested; the dataset itself runs in DataLoader threads on the HOST, where a
+# per-sample jnp round-trip would ship every frame batch through the (tunnel)
+# device transfer path and serialize against the train step. cv2 releases
+# the GIL, matching the reference's mp.Pool cv2 fan-out
+# (reference dataset.py:1487,2011).
+# --------------------------------------------------------------------------- #
+
+_undistort_map_cache: dict = {}
+
+
+def resize_video_numpy(video: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
+    """cv2 bilinear resize of a frame batch (N, H, W, C), host-side."""
+    import cv2
+
+    out = np.empty(
+        (video.shape[0], out_hw[0], out_hw[1], video.shape[3]),
+        dtype=np.float32,
+    )
+    for i in range(video.shape[0]):
+        cv2.resize(
+            video[i].astype(np.float32),
+            (out_hw[1], out_hw[0]),
+            dst=out[i],
+            interpolation=cv2.INTER_LINEAR,
+        )
+    return out.astype(video.dtype)
+
+
+def undistort_video_numpy(video: np.ndarray, K, D) -> np.ndarray:
+    """cv2 undistort of a frame batch (N, H, W, C), host-side.
+
+    Uses the same sampling grid as the device kernel (parity-tested);
+    per-size maps are cached across samples.
+    """
+    import cv2
+
+    h, w = video.shape[1:3]
+    key = (float(np.asarray(K).sum()), float(np.asarray(D).sum()), h, w)
+    maps = _undistort_map_cache.get(key)
+    if maps is None:
+        grid = np.asarray(undistort_grid(K, D, h, w), dtype=np.float32)
+        maps = (
+            np.ascontiguousarray(grid[..., 0]),
+            np.ascontiguousarray(grid[..., 1]),
+        )
+        _undistort_map_cache[key] = maps
+    out = np.empty_like(video, dtype=np.float32)
+    for i in range(video.shape[0]):
+        cv2.remap(
+            video[i].astype(np.float32), maps[0], maps[1],
+            interpolation=cv2.INTER_LINEAR, dst=out[i],
+        )
+    return out.astype(video.dtype)
