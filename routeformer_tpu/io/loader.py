@@ -53,6 +53,7 @@ class DataLoader:
         collate_fn: Optional[Callable] = None,
         process_index: int = 0,
         process_count: int = 1,
+        to_device: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -64,6 +65,10 @@ class DataLoader:
         self.collate = collate_fn or default_collate
         self.process_index = process_index
         self.process_count = process_count
+        # Issue the host->device transfer from the producer thread so it
+        # overlaps the consumer's step (on tunnel-attached chips the H2D
+        # copy is seconds per epoch — see tools/bench_e2e.py).
+        self.to_device = to_device
         self._epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -104,7 +109,19 @@ class DataLoader:
                         samples = pool.map(
                             self.dataset.__getitem__, [int(i) for i in batch_idx]
                         )
-                        out_q.put(self.collate(samples))
+                        batch = self.collate(samples)
+                        if self.to_device:
+                            import jax.numpy as jnp
+
+                            batch = {
+                                k: (
+                                    {kk: jnp.asarray(vv) for kk, vv in v.items()}
+                                    if isinstance(v, dict)
+                                    else jnp.asarray(v)
+                                )
+                                for k, v in batch.items()
+                            }
+                        out_q.put(batch)
             except Exception as e:  # noqa: BLE001 — surface on the consumer side
                 out_q.put(e)
             finally:

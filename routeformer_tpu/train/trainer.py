@@ -122,6 +122,7 @@ class ParallelTrainer:
             self._shardings = (p_shard, s_shard, o_shard)
 
         self._train_step = None
+        self._apply_step = None
         self._eval_steps = {}
         self.epoch = 0
 
@@ -147,67 +148,98 @@ class ParallelTrainer:
         # to the trajectory loss; the dispatch is kept for parity.
         return routeformer_training_loss(model, inp, tgt, epoch, self.losses)
 
-    def _build_train_step(self):
-        graphdefs = self.graphdefs
-        names = self.model_names
-        tx = self.tx
+    def _build_grad_step(self, name):
+        """Per-model gradient program: loss + grads, NO optimizer update.
+
+        The lockstep step is deliberately split into one program per model
+        plus one optimizer program (``_build_apply_step``) rather than one
+        monolith: the math is identical (the gradient of the summed loss is
+        the per-model gradients side by side; the global clip happens in
+        the optimizer program over ALL models' grads), but each compiled
+        program stays small — the 13-model monolith took the remote-tunnel
+        compiler minutes, and its thousands of independent collectives
+        deadlocked XLA:CPU's concurrent thunk executor on the virtual mesh
+        (devices entered independent collectives in different orders).
+        """
+        graphdef = self.graphdefs[name]
         loss_fn = self._loss_fn
 
-        def step(params, states, opt_state, inp, tgt, epoch):
-            models = {
-                n: nnx.merge(graphdefs[n], params[n], states[n]) for n in names
-            }
+        def grad_step(params, state, inp, tgt, epoch):
+            model = nnx.merge(graphdef, params, state)
 
-            def total_loss_fn(models):
-                total = 0.0
-                metrics = {}
-                for n, m in models.items():
-                    if "baseline" in n:
-                        continue
-                    loss, m_metrics = loss_fn(n, m, inp, tgt, epoch)
-                    total = total + loss
-                    for k, v in m_metrics.items():
-                        metrics[f"train_{k}_{n}"] = v
-                return total, metrics
+            def model_loss(m):
+                return loss_fn(name, m, inp, tgt, epoch)
 
-            # nnx.value_and_grad over the dict-of-modules pytree.
-            (total, metrics), grads = nnx.value_and_grad(
-                total_loss_fn, has_aux=True
-            )(models)
-            new_params, new_states = {}, {}
-            for n in names:
-                _, p, s = nnx.split(models[n], nnx.Param, ...)
-                new_params[n] = p
-                new_states[n] = s
-            # Baseline models have no loss -> no grads; zero-fill for optax.
-            grads = dict(grads)
-            for n in names:
-                if n not in grads or grads[n] is None:
-                    grads[n] = jax.tree.map(jnp.zeros_like, new_params[n])
-            updates, new_opt = tx.update(grads, opt_state, new_params)
-            final_params = optax.apply_updates(new_params, updates)
-            metrics["train_total_loss"] = total
-            return final_params, new_states, new_opt, metrics
+            (loss, metrics), grads = nnx.value_and_grad(
+                model_loss, has_aux=True
+            )(model)
+            _, _, new_state = nnx.split(model, nnx.Param, ...)
+            return grads, new_state, loss, metrics
 
         if self._shardings is not None:
-            p_shard, s_shard, o_shard = self._shardings
+            p_shard, s_shard, _ = self._shardings
             return jax.jit(
-                step,
-                in_shardings=(p_shard, s_shard, o_shard, None, None, None),
-                donate_argnums=(0, 1, 2),
+                grad_step,
+                in_shardings=(p_shard[name], s_shard[name], None, None, None),
+                # grads leave with the params' shardings so the optimizer
+                # program consumes them without resharding
+                out_shardings=(p_shard[name], s_shard[name], None, None),
+                donate_argnums=(1,),
             )
-        return jax.jit(step, donate_argnums=(0, 1, 2))
+        return jax.jit(grad_step, donate_argnums=(1,))
+
+    def _build_apply_step(self):
+        """One optimizer program over the full model dict: the summed-loss
+        update with ONE global gradient clip across all models (reference
+        full_comparison.py:470-531 + Lightning grad-clip 2.5 :829-830)."""
+        tx = self.tx
+
+        def apply_step(params, grads, opt_state):
+            updates, new_opt = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_opt
+
+        if self._shardings is not None:
+            p_shard, _, o_shard = self._shardings
+            return jax.jit(
+                apply_step,
+                in_shardings=(p_shard, p_shard, o_shard),
+                donate_argnums=(0, 2),
+            )
+        return jax.jit(apply_step, donate_argnums=(0, 2))
 
     def training_step(self, batch: dict) -> Dict[str, float]:
         """One lockstep update on one batch (reference full_comparison.py:470-531)."""
         if self._train_step is None:
-            self._train_step = self._build_train_step()
+            self._train_step = {
+                n: self._build_grad_step(n)
+                for n in self.model_names
+                if "baseline" not in n
+            }
+            self._apply_step = self._build_apply_step()
         inp = self._place_batch(batch["train"])
         tgt = self._place_batch(batch["target"])
-        self.params, self.states, self.opt_state, metrics = self._train_step(
-            self.params, self.states, self.opt_state, inp, tgt,
-            jnp.asarray(self.epoch),
+        epoch = jnp.asarray(self.epoch)
+
+        metrics: Dict[str, jnp.ndarray] = {}
+        grads = {}
+        total = 0.0
+        for name in self.model_names:
+            if "baseline" in name:
+                # Baseline models have no loss -> zero grads for optax.
+                grads[name] = jax.tree.map(jnp.zeros_like, self.params[name])
+                continue
+            g, self.states[name], loss, m_metrics = self._train_step[name](
+                self.params[name], self.states[name], inp, tgt, epoch
+            )
+            grads[name] = g
+            total = total + loss
+            for k, v in m_metrics.items():
+                metrics[f"train_{k}_{name}"] = v
+
+        self.params, self.opt_state = self._apply_step(
+            self.params, grads, self.opt_state
         )
+        metrics["train_total_loss"] = total
         return metrics
 
     # ------------------------------------------------------------------ #

@@ -67,6 +67,20 @@ class TestDataLoader:
         # it terminates and is reasonably fast
         assert elapsed < 1.0
 
+    def test_to_device_batches(self):
+        import jax
+
+        from routeformer_tpu.io.loader import DataLoader
+
+        loader = DataLoader(
+            ListDataset(8), batch_size=4, to_device=True, num_threads=2
+        )
+        batches = list(loader)
+        assert len(batches) == 2
+        for b in batches:
+            for leaf in jax.tree.leaves(b):
+                assert isinstance(leaf, jax.Array)
+
     def test_error_propagation(self):
         class Bad(ListDataset):
             def __getitem__(self, i):

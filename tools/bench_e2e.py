@@ -91,7 +91,8 @@ def main():
         build_s = build_recording(workdir / "gem")
         dataset = make_dataset(workdir / "gem", workdir / "cache")
         loader = DataLoader(
-            dataset, batch_size=BATCH, shuffle=False, num_threads=8, prefetch=2
+            dataset, batch_size=BATCH, shuffle=False, num_threads=8,
+            prefetch=2, to_device=True,
         )
         n_batches = len(loader)
         assert n_batches >= 3, f"fixture too short: {n_batches} batches"
