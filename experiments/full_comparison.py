@@ -180,7 +180,13 @@ MULTIMODAL_TRANSFORMER_CONFIG_SWINV2 = GIMO_CONFIG_SWINV2
 
 def build_models(model_set: str = MODEL_SET):
     """The candidate-model dict (reference full_comparison.py:341-437)."""
+    from routeformer_tpu.utils import init_on_cpu
 
+    with init_on_cpu():
+        return _build_models(model_set)
+
+
+def _build_models(model_set: str):
     def rngs(i):
         return nnx.Rngs(i, dropout=1000 + i)
 
