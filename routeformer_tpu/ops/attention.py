@@ -157,13 +157,14 @@ def prob_sparse_attention(
     vt = v.transpose(0, 2, 1, 3)
 
     # Two formulations of the sampled-score stage (ROUTEFORMER_PROBSPARSE):
-    # - "gather" (default): gather the sampled K rows then einsum. Measured
-    #   ~10% faster end-to-end at f32 unmerged-fusion shapes (docs/PERF.md),
-    #   at the cost of materializing a (B, H, L_q, U_part, E) tensor.
-    # - "dense": one dense (B, H, L, S) MXU score matmul, reused for both
-    #   the sampling gather and the top-u rows — trades the big gather for
-    #   trivial FLOPs.
-    if os.getenv("ROUTEFORMER_PROBSPARSE", "gather") == "dense":
+    # - "dense" (default): one dense (B, H, L, S) MXU score matmul, reused
+    #   for both the sampling gather and the top-u rows — trades the big
+    #   gather for trivial FLOPs. Re-measured in round 2 (bf16 fusion +
+    #   merged streams + swin flagship): wins BOTH the cold step (768 vs
+    #   792 ms) and the cached steady state (142 vs 158 ms) — docs/PERF.md.
+    # - "gather": gather the sampled K rows then einsum; won at round 1's
+    #   f32 unmerged-fusion shapes, kept as a knob for other geometries.
+    if os.getenv("ROUTEFORMER_PROBSPARSE", "dense") == "dense":
         qk_full = jnp.einsum(
             "bhle,bhse->bhls", qt, kt,
             preferred_element_type=jnp.float32,
