@@ -24,6 +24,7 @@ All modules honor nnx ``train()``/``eval()`` via ``deterministic`` flags.
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 from flax import nnx
 
 from routeformer_tpu.ops.attention import (
@@ -142,9 +143,45 @@ class AttentionLayer(nnx.Module):
         s = keys.shape[1]
         h = self.n_heads
 
-        q = self.query_projection(queries).reshape(b, l, h, -1)
-        k = self.key_projection(keys).reshape(b, s, h, -1)
-        v = self.value_projection(values).reshape(b, s, h, -1)
+        if queries is keys and keys is values and (
+            self.query_projection.kernel.shape
+            == self.key_projection.kernel.shape
+            == self.value_projection.kernel.shape
+        ):
+            # Self-attention fast path: one fused (d, 3*dk) matmul instead
+            # of three dispatches. Exactly the same math — concatenation
+            # along the OUTPUT dim computes each column identically — and
+            # the parameters stay separate (torch-checkpoint parity).
+            kernel = jnp.concatenate(
+                [
+                    self.query_projection.kernel[...],
+                    self.key_projection.kernel[...],
+                    self.value_projection.kernel[...],
+                ],
+                axis=1,
+            )
+            bias = jnp.concatenate(
+                [
+                    self.query_projection.bias[...],
+                    self.key_projection.bias[...],
+                    self.value_projection.bias[...],
+                ]
+            )
+            dtype = self.query_projection.dtype
+            x = queries
+            if dtype is not None:
+                x, kernel, bias = (
+                    x.astype(dtype), kernel.astype(dtype), bias.astype(dtype)
+                )
+            qkv = x @ kernel + bias
+            dk = self.query_projection.kernel.shape[1]
+            q = qkv[..., :dk].reshape(b, l, h, -1)
+            k = qkv[..., dk : 2 * dk].reshape(b, s, h, -1)
+            v = qkv[..., 2 * dk :].reshape(b, s, h, -1)
+        else:
+            q = self.query_projection(queries).reshape(b, l, h, -1)
+            k = self.key_projection(keys).reshape(b, s, h, -1)
+            v = self.value_projection(values).reshape(b, s, h, -1)
 
         out, attn = self.inner_attention(q, k, v, attn_mask=attn_mask)
         if self.mix:
