@@ -401,12 +401,12 @@ def main():
             batch["target"] = precompute(batch["target"])
         return batch
 
-    def iter_batches(data, epoch):
+    def iter_batches(data, epoch, skip=0):
         if hasattr(data, "set_epoch"):  # DataLoader
-            data.set_epoch(epoch)
+            data.set_epoch(epoch, start_batch=skip)
             yield from data
         else:  # indexable synthetic dataset of pre-batched items
-            for i in range(len(data)):
+            for i in range(skip, len(data)):
                 yield data[i]
 
     max_train_batches = (
@@ -415,22 +415,35 @@ def main():
         else None
     )
 
-    # RESUME=1 restores each model's best checkpoint and continues from the
-    # epoch after the newest one (the resume path the reference lacks).
-    start_epoch = 0
+    # RESUME=1 restores the latest full snapshot (exact mid-epoch resume:
+    # params + optimizer state + input-pipeline position) when one exists,
+    # else each model's best checkpoint, continuing from the epoch after
+    # the newest (the resume path the reference lacks). SAVE_EVERY_STEPS>0
+    # writes the full snapshot every N train steps.
+    start_epoch, start_batch = 0, 0
+    save_every = int(os.getenv("SAVE_EVERY_STEPS", "0"))
     if os.getenv("RESUME", "0") == "1":
-        start_epoch = ckpt.restore_all(trainer)
-        print(f"resumed from checkpoints at epoch {start_epoch}")
+        latest = ckpt.restore_latest(trainer)
+        if latest is not None:
+            start_epoch, start_batch = latest
+            print(f"resumed latest snapshot: epoch {start_epoch} batch {start_batch}")
+        else:
+            start_epoch = ckpt.restore_all(trainer)
+            print(f"resumed from best checkpoints at epoch {start_epoch}")
 
     for epoch in range(start_epoch, EPOCHS):
         trainer.epoch = epoch
-        for i, batch in enumerate(iter_batches(train_data, epoch)):
+        skip = start_batch if epoch == start_epoch else 0
+        for j, batch in enumerate(iter_batches(train_data, epoch, skip)):
+            i = skip + j
             if max_train_batches is not None and i >= max_train_batches:
                 break
             batch = prepare(batch)
             metrics = trainer.training_step(batch)
             if i % 10 == 0:
                 metrics_logger.log(metrics, epoch * len(train_data) + i, "train")
+            if save_every and (i + 1) % save_every == 0:
+                ckpt.save_latest(trainer, epoch, next_batch=i + 1)
         # Epoch-level aggregation: per-sample arrays accumulate over every
         # val batch and are bucketed once (reference full_comparison.py:
         # 645-651 sync_dist epoch reduction) — NOT last-batch-wins.
@@ -439,6 +452,8 @@ def main():
         )
         metrics_logger.log(val_metrics, epoch, "val")
         ckpt.maybe_save(trainer, val_metrics, epoch)
+        if save_every:
+            ckpt.save_latest(trainer, epoch + 1, next_batch=0)
         print(
             f"epoch {epoch}: "
             + ", ".join(

@@ -71,9 +71,14 @@ class DataLoader:
         self.to_device = to_device
         self._epoch = 0
 
-    def set_epoch(self, epoch: int):
-        """Reshuffle seed per epoch (DistributedSampler role)."""
+    def set_epoch(self, epoch: int, start_batch: int = 0):
+        """Reshuffle seed per epoch (DistributedSampler role).
+
+        ``start_batch`` resumes mid-epoch: the first ``start_batch``
+        batches of this epoch's (deterministic) order are skipped without
+        being assembled."""
         self._epoch = epoch
+        self._start_batch = start_batch
 
     def _indices(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
@@ -94,6 +99,10 @@ class DataLoader:
             indices[i * self.batch_size : (i + 1) * self.batch_size]
             for i in range(n_batches)
         ]
+        start = getattr(self, "_start_batch", 0)
+        if start:
+            batches = batches[start:]
+            self._start_batch = 0  # one-shot: later epochs start at 0
 
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

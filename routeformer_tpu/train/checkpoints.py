@@ -20,6 +20,55 @@ from routeformer_tpu.utils.logging import get_logger
 logger = get_logger("train.checkpoints")
 
 
+def _is_key_array(x) -> bool:
+    import jax.dtypes
+
+    return hasattr(x, "dtype") and jax.dtypes.issubdtype(
+        x.dtype, jax.dtypes.prng_key
+    )
+
+
+def _rng_key_data(state):
+    """RngState subtree with typed PRNG keys unwrapped to raw uint32."""
+    from flax import nnx
+
+    rng_state, _ = nnx.filter_state(state, nnx.RngState, ...)
+    pure = rng_state.to_pure_dict()
+    return jax.tree.map(
+        lambda x: np.asarray(jax.random.key_data(x))
+        if _is_key_array(x)
+        else np.asarray(x),
+        pure,
+    )
+
+
+def _restore_rng(state, restored_rng: dict):
+    """Write restored key_data/counts back into the live RngState."""
+    from flax import nnx
+
+    rng_state, _ = nnx.filter_state(state, nnx.RngState, ...)
+    pure = rng_state.to_pure_dict()
+
+    def rebuild(old, new):
+        if _is_key_array(old):
+            impl = jax.random.key_impl(old)
+            return jax.random.wrap_key_data(jnp_asarray_u32(new), impl=impl)
+        return jax.numpy.asarray(new)
+
+    merged = jax.tree.map(rebuild, pure, restored_rng)
+    # merge into the FULL state dict and write through the top-level State
+    # (the filtered view does not alias the parent's VariableStates)
+    full = state.to_pure_dict()
+    _deep_update(full, merged)
+    state.replace_by_pure_dict(full)
+
+
+def jnp_asarray_u32(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x, dtype=jnp.uint32)
+
+
 def _deep_update(dst: dict, src: dict):
     for k, v in src.items():
         if isinstance(v, dict) and isinstance(dst.get(k), dict):
@@ -148,6 +197,89 @@ class CheckpointManager:
                 resume_epoch = max(resume_epoch, int(entry.get("epoch", -1)) + 1)
                 logger.info("restored %s (best %s)", name, entry)
         return resume_epoch
+
+    # ------------------------------------------------------------------ #
+    # latest-state (exact-resume) checkpointing
+    # ------------------------------------------------------------------ #
+
+    def _latest_dir(self) -> Path:
+        return (self.directory / "_latest").absolute()
+
+    def save_latest(self, trainer, epoch: int, next_batch: int = 0):
+        """Full training-state snapshot for exact (mid-epoch) resume:
+        every model's params + non-rng state, the optimizer state, and the
+        input-pipeline position (epoch, next batch index). Extension over
+        both the best-ADE snapshots above and the reference (which has no
+        resume at all, and no dataset-state checkpointing — SURVEY §5)."""
+        payload = {
+            "params": {
+                n: jax.tree.map(np.asarray, trainer.params[n].to_pure_dict())
+                for n in trainer.model_names
+            },
+            "state": {
+                n: jax.tree.map(
+                    np.asarray, self._savable_state(trainer, n).to_pure_dict()
+                )
+                for n in trainer.model_names
+            },
+            # rng streams too (typed PRNG keys as raw key_data): resume is
+            # then BIT-exact — without them, ProbSparse's sampled backward
+            # accumulates in a different order and AdamW amplifies the f32
+            # noise (the Lightning-checkpoint rng-state role).
+            "rng": {
+                n: jax.tree.map(np.asarray, _rng_key_data(trainer.states[n]))
+                for n in trainer.model_names
+            },
+            "opt_state": jax.tree.map(np.asarray, trainer.opt_state),
+        }
+        path = self._latest_dir() / "ckpt"
+        if path.exists():
+            import shutil
+
+            shutil.rmtree(path)
+        self._checkpointer.save(path, payload)
+        self._checkpointer.wait_until_finished()
+        (self._latest_dir() / "position.json").write_text(
+            json.dumps({"epoch": int(epoch), "next_batch": int(next_batch)})
+        )
+
+    def restore_latest(self, trainer):
+        """Restore the latest full snapshot; returns ``(epoch, next_batch)``
+        or ``None`` when no snapshot exists."""
+        path = self._latest_dir() / "ckpt"
+        pos_path = self._latest_dir() / "position.json"
+        if not path.exists() or not pos_path.exists():
+            return None
+        template = {
+            "params": {
+                n: jax.tree.map(np.asarray, trainer.params[n].to_pure_dict())
+                for n in trainer.model_names
+            },
+            "state": {
+                n: jax.tree.map(
+                    np.asarray, self._savable_state(trainer, n).to_pure_dict()
+                )
+                for n in trainer.model_names
+            },
+            "rng": {
+                n: jax.tree.map(np.asarray, _rng_key_data(trainer.states[n]))
+                for n in trainer.model_names
+            },
+            "opt_state": jax.tree.map(np.asarray, trainer.opt_state),
+        }
+        restored = self._checkpointer.restore(path, template)
+        for n in trainer.model_names:
+            trainer.params[n].replace_by_pure_dict(restored["params"][n])
+            full = trainer.states[n].to_pure_dict()
+            _deep_update(full, restored["state"][n])
+            trainer.states[n].replace_by_pure_dict(full)
+            _restore_rng(trainer.states[n], restored["rng"][n])
+        import jax.numpy as jnp
+
+        trainer.opt_state = jax.tree.map(jnp.asarray, restored["opt_state"])
+        pos = json.loads(pos_path.read_text())
+        logger.info("restored latest snapshot at %s", pos)
+        return int(pos["epoch"]), int(pos["next_batch"])
 
     @property
     def best(self) -> Dict:

@@ -34,6 +34,77 @@ def tiny_trainer():
     return ParallelTrainer(models, tx, cfg)
 
 
+class TestLatestSnapshot:
+    @staticmethod
+    def _det_trainer():
+        # factor >= L makes ProbSparse exhaustive (selection independent of
+        # the sampling rng, which is deliberately NOT checkpointed)
+        gps_cfg = GPSBackboneConfig(
+            seq_len=40, label_len=40, pred_len=30,
+            d_model=16, n_heads=4, e_layers=1, d_layers=1, d_ff=32,
+            factor=100, dropout=0.0, activation="relu",
+        )
+        cfg = RouteformerConfig(
+            gps_backbone_config=gps_cfg, discount_factor={0: 0.97}, epsilon=1.0
+        )
+        models = {
+            "informer": Routeformer(
+                cfg, gps_backbone=Informer, rngs=nnx.Rngs(0, dropout=1)
+            )
+        }
+        tx = build_optimizer(
+            learning_rate=1e-3, video_backbone_lr=None,
+            warmup_epochs=0, max_epochs=10,
+        )
+        return ParallelTrainer(models, tx, cfg)
+
+    def test_latest_roundtrip_exact_resume(self, tmp_path):
+        """Full-state snapshot (params + optimizer + pipeline position):
+        a fresh trainer restored from it continues EXACTLY — the next
+        training step produces identical params."""
+        trainer = self._det_trainer()
+        batch = synthetic_batch(0, batch_size=4)
+        ckpt = CheckpointManager(tmp_path)
+
+        for _ in range(3):
+            trainer.training_step(batch)
+        ckpt.save_latest(trainer, epoch=1, next_batch=2)
+
+        # continue the original for one reference step
+        trainer.training_step(batch)
+        golden = jax.tree.map(np.array, trainer.params["informer"].to_pure_dict())
+
+        fresh = self._det_trainer()
+        pos = CheckpointManager(tmp_path).restore_latest(fresh)
+        assert pos == (1, 2)
+        fresh.training_step(batch)
+        got = fresh.params["informer"].to_pure_dict()
+        for a, b in zip(jax.tree.leaves(golden), jax.tree.leaves(got)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_restore_latest_none_without_snapshot(self, tmp_path):
+        trainer = tiny_trainer()
+        assert CheckpointManager(tmp_path).restore_latest(trainer) is None
+
+    def test_loader_start_batch_skips(self):
+        from routeformer_tpu.io.loader import DataLoader
+
+        class Ds:
+            def __len__(self):
+                return 12
+
+            def __getitem__(self, i):
+                return {"x": np.full((2,), float(i), dtype=np.float32)}
+
+        loader = DataLoader(Ds(), batch_size=2, shuffle=False, num_threads=2)
+        loader.set_epoch(0, start_batch=4)
+        got = [b["x"][0, 0] for b in loader]
+        assert got == [8.0, 10.0]
+        # next epoch starts from 0 again
+        loader.set_epoch(1)
+        assert len(list(loader)) == 6
+
+
 class TestCheckpointManager:
     def test_save_restore_roundtrip(self, tmp_path):
         trainer = tiny_trainer()
