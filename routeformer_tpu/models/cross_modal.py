@@ -105,7 +105,11 @@ class PerceiveEncoder(nnx.Module):
     def __call__(self, x_enc: jnp.ndarray):
         enc_out = self.value_embedding(x_enc) + self.position_embedding(x_enc)
         if self.scan_layers:
-            @nnx.scan(in_axes=(0, nnx.Carry), out_axes=nnx.Carry)
+            import os
+
+            unroll = int(os.getenv("ROUTEFORMER_FUSION_UNROLL", "1"))
+
+            @nnx.scan(in_axes=(0, nnx.Carry), out_axes=nnx.Carry, unroll=unroll)
             def run_layers(layer, x):
                 x, _ = layer(x, attn_mask=None)
                 return x
