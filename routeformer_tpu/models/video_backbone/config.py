@@ -63,6 +63,14 @@ class TimmBackboneConfig(VideoBackboneConfig):
     # lets much larger frame batches fit when the backbone is trained
     # (train_backbone/unfreeze). No effect on frozen (stop_gradient) use.
     remat: bool = False
+    # SwinV2 window-attention kernel dispatch: "1" = always the fused
+    # Pallas kernel (bf16, TPU only), "0" = always the XLA einsum path
+    # (f32 scores), "auto" = per-shape size threshold, None = defer to the
+    # ROUTEFORMER_SWIN_FLASH env var (default "auto"). The choice is
+    # evaluated at TRACE time and frozen into the compiled program: under
+    # "auto" different stages of one model may take different numeric
+    # paths, and changing the env var after the first jit has no effect.
+    window_flash: Optional[str] = None
 
 
 @dataclass

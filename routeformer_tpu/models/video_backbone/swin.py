@@ -27,14 +27,25 @@ import numpy as np
 from flax import nnx
 
 
-def _use_window_flash(batch_windows: int, tokens: int) -> bool:
+def _use_window_flash(
+    batch_windows: int, tokens: int, mode: Optional[str] = None
+) -> bool:
     """Dispatch window attention to the fused Pallas kernel.
 
     Worth it when the einsum path's (B, H, N, N) f32 score tensor is large
     (flagship: 10.5 GB at stage 1); tiny test shapes keep the XLA path,
-    which also serves CPU runs. ``ROUTEFORMER_SWIN_FLASH=0|1`` overrides.
+    which also serves CPU runs.
+
+    ``mode`` is the explicit dispatch choice ("auto"/"0"/"1"), normally set
+    via ``TimmBackboneConfig.window_flash``; when None, the
+    ``ROUTEFORMER_SWIN_FLASH`` env var is consulted. NOTE: the decision is
+    evaluated at *trace* time and frozen into the compiled program — under
+    "auto" different stages of one model may legitimately take different
+    numeric paths (Pallas bf16 fused kernel vs f32 einsum), and changing
+    the env var after the first compiled step has no effect.
     """
-    mode = os.environ.get("ROUTEFORMER_SWIN_FLASH", "auto")
+    if mode is None:
+        mode = os.environ.get("ROUTEFORMER_SWIN_FLASH", "auto")
     if mode == "0":
         return False
     if jax.default_backend() != "tpu":
@@ -101,10 +112,16 @@ def _shift_attn_mask(h: int, w: int, window: int, shift: int) -> np.ndarray:
 class WindowAttention(nnx.Module):
     """SwinV2 cosine window attention with a CPB-MLP relative bias."""
 
-    def __init__(self, dim: int, window: int, n_heads: int, dtype=None, *, rngs: nnx.Rngs):
+    def __init__(
+        self, dim: int, window: int, n_heads: int, dtype=None,
+        flash_mode: Optional[str] = None, *, rngs: nnx.Rngs,
+    ):
         self.dim = dim
         self.window = window
         self.n_heads = n_heads
+        # Explicit kernel-dispatch choice ("auto"/"0"/"1"); None defers to
+        # the ROUTEFORMER_SWIN_FLASH env var (see _use_window_flash).
+        self.flash_mode = flash_mode
         self.qkv = nnx.Linear(dim, 3 * dim, use_bias=False, dtype=dtype, rngs=rngs)
         self.q_bias = nnx.Param(jnp.zeros((dim,)))
         self.v_bias = nnx.Param(jnp.zeros((dim,)))
@@ -153,7 +170,7 @@ class WindowAttention(nnx.Module):
         if bias is None:
             bias = self.get_bias()  # (H, N, N)
 
-        if _use_window_flash(b, n):
+        if _use_window_flash(b, n, self.flash_mode):
             # Fused Pallas path: the materialized (B, H, N, N) f32 score
             # tensor is gigabytes at flagship frame counts (10.5 GB at
             # stage 1 of a 672-frame step) — the kernel keeps scores in
@@ -201,13 +218,15 @@ class SwinBlock(nnx.Module):
     def __init__(
         self, dim: int, n_heads: int, window: int, shift: int,
         input_hw: Tuple[int, int], dtype=None, gelu_approximate=False,
-        *, rngs: nnx.Rngs,
+        flash_mode: Optional[str] = None, *, rngs: nnx.Rngs,
     ):
         self.gelu_approximate = gelu_approximate
         self.window = min(window, *input_hw)
         self.shift = shift if self.window < min(input_hw) else 0
         self.input_hw = input_hw
-        self.attn = WindowAttention(dim, self.window, n_heads, dtype, rngs=rngs)
+        self.attn = WindowAttention(
+            dim, self.window, n_heads, dtype, flash_mode, rngs=rngs
+        )
         # timm/torch SwinV2 LayerNorm eps (torch default 1e-5; nnx default 1e-6)
         self.norm1 = nnx.LayerNorm(dim, epsilon=1e-5, rngs=rngs)
         self.norm2 = nnx.LayerNorm(dim, epsilon=1e-5, rngs=rngs)
@@ -254,14 +273,16 @@ class SwinBlockPair(nnx.Module):
     def __init__(
         self, dim: int, n_heads: int, window: int,
         input_hw: Tuple[int, int], dtype=None, gelu_approximate=False,
-        *, rngs: nnx.Rngs,
+        flash_mode: Optional[str] = None, *, rngs: nnx.Rngs,
     ):
         shift = min(window, *input_hw) // 2
         self.block_a = SwinBlock(
-            dim, n_heads, window, 0, input_hw, dtype, gelu_approximate, rngs=rngs
+            dim, n_heads, window, 0, input_hw, dtype, gelu_approximate,
+            flash_mode, rngs=rngs,
         )
         self.block_b = SwinBlock(
-            dim, n_heads, window, shift, input_hw, dtype, gelu_approximate, rngs=rngs
+            dim, n_heads, window, shift, input_hw, dtype, gelu_approximate,
+            flash_mode, rngs=rngs,
         )
 
     def get_biases(self):
@@ -283,7 +304,8 @@ class SwinStage(nnx.Module):
     def __init__(
         self, dim: int, n_heads: int, window: int, depth: int,
         input_hw: Tuple[int, int], dtype=None, remat: bool = False,
-        gelu_approximate: bool = False, *, rngs: nnx.Rngs,
+        gelu_approximate: bool = False, flash_mode: Optional[str] = None,
+        *, rngs: nnx.Rngs,
     ):
         if depth % 2 != 0:
             raise ValueError(f"Swin stage depth must be even, got {depth}")
@@ -295,7 +317,7 @@ class SwinStage(nnx.Module):
         def create_pairs(pair_rngs):
             return SwinBlockPair(
                 dim, n_heads, window, input_hw, dtype, gelu_approximate,
-                rngs=pair_rngs,
+                flash_mode, rngs=pair_rngs,
             )
 
         self.pairs = create_pairs(rngs)
@@ -413,6 +435,7 @@ class SwinV2Backbone(VideoBackboneModule):
                     dim, heads, p.window, depth, (hw, hw), dtype,
                     remat=getattr(configs, "remat", False),
                     gelu_approximate=getattr(configs, "gelu", "exact") == "tanh",
+                    flash_mode=getattr(configs, "window_flash", None),
                     rngs=rngs,
                 )
             )

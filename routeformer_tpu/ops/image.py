@@ -175,7 +175,14 @@ def undistort_video_numpy(video: np.ndarray, K, D) -> np.ndarray:
     import cv2
 
     h, w = video.shape[1:3]
-    key = (float(np.asarray(K).sum()), float(np.asarray(D).sum()), h, w)
+    # Key on the calibration *bytes*: two distinct (K, D) pairs whose sums
+    # collide must not share remap grids (silent frame corruption).
+    key = (
+        np.asarray(K, np.float64).tobytes(),
+        np.asarray(D, np.float64).tobytes(),
+        h,
+        w,
+    )
     maps = _undistort_map_cache.get(key)
     if maps is None:
         grid = np.asarray(undistort_grid(K, D, h, w), dtype=np.float32)

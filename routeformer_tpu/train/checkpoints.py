@@ -210,7 +210,12 @@ class CheckpointManager:
         every model's params + non-rng state, the optimizer state, and the
         input-pipeline position (epoch, next batch index). Extension over
         both the best-ADE snapshots above and the reference (which has no
-        resume at all, and no dataset-state checkpointing — SURVEY §5)."""
+        resume at all, and no dataset-state checkpointing — SURVEY §5).
+
+        The write is crash-safe: the snapshot is written to a fresh temp
+        directory and atomically renamed over ``_latest`` only after orbax
+        reports it durable — a preemption mid-save leaves the previous
+        snapshot intact instead of losing the only exact-resume state."""
         payload = {
             "params": {
                 n: jax.tree.map(np.asarray, trainer.params[n].to_pure_dict())
@@ -232,20 +237,45 @@ class CheckpointManager:
             },
             "opt_state": jax.tree.map(np.asarray, trainer.opt_state),
         }
-        path = self._latest_dir() / "ckpt"
-        if path.exists():
-            import shutil
+        import os
+        import shutil
 
-            shutil.rmtree(path)
-        self._checkpointer.save(path, payload)
+        final = self._latest_dir()
+        tmp = final.with_name("_latest.tmp")
+        old = final.with_name("_latest.old")
+        for stale in (tmp, old):
+            if stale.exists():
+                shutil.rmtree(stale)
+        tmp.mkdir(parents=True)
+        self._checkpointer.save(tmp / "ckpt", payload)
         self._checkpointer.wait_until_finished()
-        (self._latest_dir() / "position.json").write_text(
+        (tmp / "position.json").write_text(
             json.dumps({"epoch": int(epoch), "next_batch": int(next_batch)})
         )
+        # Durable -> swap into place; delete the previous snapshot last.
+        if final.exists():
+            os.rename(final, old)
+        os.rename(tmp, final)
+        if old.exists():
+            shutil.rmtree(old)
 
     def restore_latest(self, trainer):
         """Restore the latest full snapshot; returns ``(epoch, next_batch)``
-        or ``None`` when no snapshot exists."""
+        or ``None`` when no snapshot exists or its tree structure no longer
+        matches the live trainer (e.g. an optimizer/rng config change since
+        the save) — callers then fall back to ``restore_all``."""
+        try:
+            return self._restore_latest(trainer)
+        except Exception as exc:  # noqa: BLE001 — degrade to best-ckpt path
+            logger.warning(
+                "latest-snapshot restore failed (%s: %s); falling back to "
+                "best-metric checkpoints",
+                type(exc).__name__,
+                exc,
+            )
+            return None
+
+    def _restore_latest(self, trainer):
         path = self._latest_dir() / "ckpt"
         pos_path = self._latest_dir() / "position.json"
         if not path.exists() or not pos_path.exists():
