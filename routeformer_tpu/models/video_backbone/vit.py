@@ -193,7 +193,7 @@ class TimmBackbone(VideoBackboneModule):
         resolution. Streams of different raw resolutions become concatenable
         after this — the split lets the model batch several views through
         one ``encode_frames`` call."""
-        if self.train_backbone and not self.deterministic:
+        if (self.train_backbone or self.unfreeze) and not self.deterministic:
             from routeformer_tpu.ops.augment import photometric_augment
 
             images = photometric_augment(images, self.aug_rngs())

@@ -54,18 +54,24 @@ def set_mc_sampling(model: nnx.Module, enabled: bool) -> None:
 def maybe_split_video(batch: dict, enabled: bool = True) -> dict:
     """DR(eye)VE left-video split (reference full_comparison.py:534-551):
     the garmin view is cut into left/right halves to feed the two-view
-    model. Operates on channel-last (B, T, H, W, C) batches in place."""
+    model. Non-mutating: returns a new batch dict (the input's phase dicts
+    are never written), so callers may cache and reuse batch dicts across
+    epochs; feeding the returned batch back in is a no-op (``right_video``
+    already present)."""
     if not enabled:
         return batch
+    out = dict(batch)
     for phase in ("train", "target"):
         videos = batch.get(phase, {})
         if "left_video" not in videos or "right_video" in videos:
             continue
+        videos = dict(videos)
         full = videos["left_video"]
         width = full.shape[3]
         videos["right_video"] = full[:, :, :, int(0.5 * width) :]
         videos["left_video"] = full[:, :, :, : int(0.5 * width)]
-    return batch
+        out[phase] = videos
+    return out
 
 
 class ParallelTrainer:
@@ -80,6 +86,7 @@ class ParallelTrainer:
         loss_fn: Optional[Callable] = None,
         mesh=None,
         min_shard_dim: int = 512,
+        unfreeze_epoch: Optional[int] = 10,
     ):
         self.model_names = list(models.keys())
         self.config = config
@@ -89,6 +96,11 @@ class ParallelTrainer:
         self._loss_fn = loss_fn or self._default_loss_fn
         self.mesh = mesh
         self.min_shard_dim = min_shard_dim
+        # Reference epoch-10 video-backbone unfreeze threshold
+        # (TimmBackbone.py:123: requires_grad_(current_epoch > 10));
+        # None disables the unfreeze entirely.
+        self.unfreeze_epoch = unfreeze_epoch
+        self._unfrozen = False
 
         self.graphdefs = {}
         self.params = {}
@@ -207,8 +219,53 @@ class ParallelTrainer:
             )
         return jax.jit(apply_step, donate_argnums=(0, 2))
 
+    def _apply_unfreeze(self):
+        """Flip the epoch-10 video-backbone unfreeze when the boundary is
+        crossed (reference TimmBackbone.py:123:
+        ``self.Backbone.requires_grad_(self.current_epoch > 10)``).
+
+        Flipping ``unfreeze`` on the backbone modules removes their
+        ``stop_gradient`` and arms the train-time photometric augs; the
+        changed graphdef forces a ONE-TIME recompile of the train/eval
+        programs at the boundary (the alternative — a traced-epoch grad
+        mask — would keep one program but pay the full backbone backward
+        on every pre-10 step). The 1e-6 video-backbone optimizer group
+        (optimizers/optimizer.py, reference full_comparison.py:697-699)
+        engages automatically once gradients flow."""
+        if self.unfreeze_epoch is None:
+            return
+        want = self.epoch > self.unfreeze_epoch
+        if want == self._unfrozen:
+            return
+        any_changed = False
+        for name in self.model_names:
+            model = nnx.merge(
+                self.graphdefs[name], self.params[name], self.states[name]
+            )
+            changed = False
+            for _, module in nnx.iter_modules(model):
+                if hasattr(module, "unfreeze") and module.unfreeze != want:
+                    module.unfreeze = want
+                    changed = True
+            if changed:
+                gd, p, s = nnx.split(model, nnx.Param, ...)
+                self.graphdefs[name] = gd
+                self.params[name] = p
+                self.states[name] = s
+                any_changed = True
+        self._unfrozen = want
+        if any_changed:
+            logger.info(
+                "epoch %d: video-backbone unfreeze -> %s (one-time recompile)",
+                self.epoch,
+                want,
+            )
+            self._train_step = None
+            self._eval_steps = {}
+
     def training_step(self, batch: dict) -> Dict[str, float]:
         """One lockstep update on one batch (reference full_comparison.py:470-531)."""
+        self._apply_unfreeze()
         if self._train_step is None:
             self._train_step = {
                 n: self._build_grad_step(n)
@@ -259,25 +316,22 @@ class ParallelTrainer:
         raw = {}
         for name in self.model_names:
             if name not in self._eval_steps:
-                # Switch the model into eval-with-MC-sampling mode and
-                # reseed its sampling stream (the torch.manual_seed(12345)
-                # equivalent) — rebuild graphdef/state to capture the mode.
+                # Switch the model into eval-with-MC-sampling mode ONCE —
+                # the graphdef captures the mode; the reseed (the
+                # torch.manual_seed(12345) equivalent) happens INSIDE the
+                # jitted step, so per-batch host work is just the step call
+                # (no re-merge/re-split per model per batch).
                 model = nnx.merge(
                     self.graphdefs[name], self.params[name], self.states[name]
                 )
                 model.eval()
                 set_mc_sampling(model, True)
-                gd, p, s = nnx.split(model, nnx.Param, ...)
-                self._eval_steps[name] = (gd, self._build_eval_step_from(gd))
-            gd, step_fn = self._eval_steps[name]
-
-            # Reseed dropout/sampling streams for reproducible MC eval
-            # (match_shape: scanned layer stacks carry stacked keys).
-            model = nnx.merge(gd, self.params[name], self.states[name])
-            nnx.reseed(model, policy="match_shape", dropout=EVAL_SEED)
-            _, p, s = nnx.split(model, nnx.Param, ...)
-
-            losses, ades, fdes = step_fn(p, s, inp, target_gps, epoch)
+                gd, _, _ = nnx.split(model, nnx.Param, ...)
+                self._eval_steps[name] = self._build_eval_step_from(gd)
+            step_fn = self._eval_steps[name]
+            losses, ades, fdes = step_fn(
+                self.params[name], self.states[name], inp, target_gps, epoch
+            )
             raw[name] = (losses, ades, fdes)
         return pcis, raw
 
@@ -320,6 +374,12 @@ class ParallelTrainer:
 
         def eval_step(params, state, inp, target_gps, epoch):
             model = nnx.merge(graphdef, params, state)
+            # Reseed dropout/sampling streams for reproducible MC eval
+            # inside the compiled program (match_shape: scanned layer
+            # stacks carry stacked keys). Every batch starts from the same
+            # fixed stream — the reference's torch.manual_seed(12345)
+            # before its 5 forwards (full_comparison.py:655).
+            nnx.reseed(model, policy="match_shape", dropout=EVAL_SEED)
             preds = []
             for _ in range(MC_SAMPLES):
                 out = model(inp)

@@ -204,6 +204,180 @@ class TestMeshLockstep:
         )
 
 
+class TestMaybeSplitVideo:
+    """maybe_split_video must not mutate its input (round-2 VERDICT weak #6:
+    datasets that cache/reuse batch dicts across epochs would otherwise get
+    the left-half slice applied twice)."""
+
+    def _batch(self):
+        full = np.arange(2 * 3 * 4 * 8 * 1, dtype=np.float32).reshape(
+            2, 3, 4, 8, 1
+        )
+        return {
+            "train": {"left_video": full, "gps": np.zeros((2, 4, 2))},
+            "target": {"left_video": full.copy()},
+        }
+
+    def test_non_mutating(self):
+        from routeformer_tpu.train.trainer import maybe_split_video
+
+        batch = self._batch()
+        original_train = batch["train"]
+        original_left = batch["train"]["left_video"].copy()
+
+        out = maybe_split_video(batch)
+        # input untouched: same dict object, full-width video, no right view
+        assert "right_video" not in original_train
+        np.testing.assert_array_equal(
+            batch["train"]["left_video"], original_left
+        )
+        # output carries the split
+        assert out["train"]["left_video"].shape[3] == 4
+        assert out["train"]["right_video"].shape[3] == 4
+        np.testing.assert_array_equal(
+            np.concatenate(
+                [out["train"]["left_video"], out["train"]["right_video"]],
+                axis=3,
+            ),
+            original_left,
+        )
+
+    def test_same_dict_twice(self):
+        """Feeding the SAME batch dict through twice (epoch reuse) must give
+        identical results both times."""
+        from routeformer_tpu.train.trainer import maybe_split_video
+
+        batch = self._batch()
+        out1 = maybe_split_video(batch)
+        out2 = maybe_split_video(batch)
+        np.testing.assert_array_equal(
+            out1["train"]["left_video"], out2["train"]["left_video"]
+        )
+        np.testing.assert_array_equal(
+            out1["train"]["right_video"], out2["train"]["right_video"]
+        )
+        # idempotent on its own output (right_video already present)
+        out3 = maybe_split_video(out1)
+        np.testing.assert_array_equal(
+            out3["train"]["left_video"], out1["train"]["left_video"]
+        )
+
+    def test_disabled_passthrough(self):
+        from routeformer_tpu.train.trainer import maybe_split_video
+
+        batch = self._batch()
+        assert maybe_split_video(batch, enabled=False) is batch
+
+
+class TestEpoch10Unfreeze:
+    """The reference unfreezes the video backbone after epoch 10
+    (TimmBackbone.py:123: requires_grad_(current_epoch > 10)) with a 1e-6
+    optimizer group (full_comparison.py:697-699). Train a tiny flagship
+    across the boundary: backbone params must be frozen before and move
+    after, at the low-LR group's step scale."""
+
+    def _make(self):
+        from routeformer_tpu.models.video_backbone import (
+            TimmBackbone,
+            TimmBackboneConfig,
+        )
+
+        gps_cfg = GPSBackboneConfig(
+            seq_len=SEQ_LEN, label_len=SEQ_LEN, pred_len=PRED_LEN,
+            d_model=32, n_heads=4, e_layers=1, d_layers=1, d_ff=64,
+            factor=4, dropout=0.0, activation="relu", distil=True,
+        )
+        cfg = RouteformerConfig(
+            gps_backbone_config=gps_cfg,
+            video_backbone_config=TimmBackboneConfig(
+                model_type="vit_tiny_test", cache_enabled=False,
+                compute_dtype="float32",
+            ),
+            decoder_mode="smart",
+            with_video=True, with_gaze=False,
+            discount_factor={0: 0.97}, epsilon=1.0,
+            image_embedding_size=16, encoder_hidden_size=16,
+            encoder_heads=4, encoder_layers=1, encoder_d_ff=32,
+            cross_modal_decoder_heads=4, cross_modal_decoder_layers=1,
+            output_fps=5, video_fps=1, gaze_fps=1,
+        )
+        models = {
+            "flagship": Routeformer(
+                cfg, gps_backbone=Informer, video_backbone=TimmBackbone,
+                rngs=nnx.Rngs(0, dropout=1),
+            )
+        }
+        tx = build_optimizer(
+            learning_rate=1e-3, video_backbone_lr=1e-6,
+            warmup_epochs=0, max_epochs=1000, gradient_clip_val=2.5,
+        )
+        trainer = ParallelTrainer(models, tx, cfg)
+        batch = synthetic_batch(
+            0, batch_size=2, seq_len=SEQ_LEN, pred_len=PRED_LEN,
+            fps=cfg.output_fps, with_video=True, with_gaze=False,
+            frame_hw=(16, 24),
+        )
+        return trainer, batch
+
+    @staticmethod
+    def _split_params(trainer):
+        """(backbone leaves, other leaves) as numpy copies."""
+        import jax.tree_util as jtu
+
+        flat = jtu.tree_flatten_with_path(
+            trainer.params["flagship"].to_pure_dict()
+        )[0]
+        backbone, other = [], []
+        for path, leaf in flat:
+            arr = np.asarray(leaf).copy()
+            if any("video_backbone" in str(k) for k in path):
+                backbone.append(arr)
+            else:
+                other.append(arr)
+        assert backbone and other
+        return backbone, other
+
+    def test_boundary(self):
+        trainer, batch = self._make()
+
+        # --- epoch 10: backbone still frozen ---
+        trainer.epoch = 10
+        bb_before, _ = self._split_params(trainer)
+        trainer.training_step(batch)
+        assert not trainer._unfrozen
+        bb_after, _ = self._split_params(trainer)
+        for b, a in zip(bb_before, bb_after):
+            # stop_gradient -> zero grads; only AdamW's decoupled weight
+            # decay moves params, at lr*wd = 1e-10 relative per step.
+            np.testing.assert_allclose(b, a, rtol=0, atol=1e-7)
+
+        # --- epoch 11: unfreeze engages, backbone moves at 1e-6 scale ---
+        trainer.epoch = 11
+        bb_before, other_before = self._split_params(trainer)
+        trainer.training_step(batch)
+        assert trainer._unfrozen
+        bb_after, other_after = self._split_params(trainer)
+        bb_delta = max(
+            float(np.max(np.abs(a - b)))
+            for b, a in zip(bb_before, bb_after)
+        )
+        other_delta = max(
+            float(np.max(np.abs(a - b)))
+            for b, a in zip(other_before, other_after)
+        )
+        # backbone moved (grads flow) ...
+        assert bb_delta > 1e-8, "backbone params did not move after unfreeze"
+        # ... at the 1e-6 LR group's AdamW step scale (NOT the 1e-3 default
+        # group: one AdamW step is bounded by ~lr plus the wd term)
+        assert bb_delta < 5e-6, f"backbone step {bb_delta} not at low-LR scale"
+        assert other_delta > 1e-5, "trainable stack should move at ~1e-3"
+
+        # flipping back down would re-freeze (threshold is exclusive >10)
+        trainer.epoch = 12
+        trainer.training_step(batch)
+        assert trainer._unfrozen
+
+
 class TestAutoregressiveEval:
     """Regression: MC eval of an autoregressive video model must not leak
     rng-count mutations across the decode scan's trace (TraceContextError)."""
