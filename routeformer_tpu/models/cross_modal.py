@@ -62,7 +62,12 @@ class PerceiveEncoder(nnx.Module):
         # role for the fusion stack; None keeps full f32.
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else None
 
-        self.value_embedding = TokenEmbedding(in_channels, d_model, rngs=rngs)
+        # The cross-modal TokenEmbedding keeps torch's default conv bias
+        # (reference cross_modal_transformer.py:356-361), unlike the
+        # bias-free gps-backbone variant.
+        self.value_embedding = TokenEmbedding(
+            in_channels, d_model, use_bias=True, rngs=rngs
+        )
         self.position_embedding = PositionalEmbedding(d_model)
 
         def make_layer(layer_rngs):
@@ -151,7 +156,9 @@ class PerceiveDecoder(nnx.Module):
         d_ff = d_ff if d_ff is not None else 4 * d_model
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else None
 
-        self.value_embedding = TokenEmbedding(query_channels, d_model, rngs=rngs)
+        self.value_embedding = TokenEmbedding(
+            query_channels, d_model, use_bias=True, rngs=rngs
+        )
         self.position_embedding = PositionalEmbedding(d_model)
         self.decoder = Decoder(
             [

@@ -27,15 +27,24 @@ from flax import nnx
 
 
 class TokenEmbedding(nnx.Module):
-    """Kernel-3 circular conv token embedding (reference Embedding.py:28-46)."""
+    """Kernel-3 circular conv token embedding (reference Embedding.py:28-46).
 
-    def __init__(self, c_in: int, d_model: int, *, rngs: nnx.Rngs):
+    ``use_bias`` distinguishes the two reference variants: the gps-backbone
+    layer library builds the conv with ``bias=False``
+    (Embedding.py:32-39), while the cross-modal copy leaves torch's default
+    ``bias=True`` (cross_modal_transformer.py:356-361) — the fusion
+    encoders pass ``use_bias=True``.
+    """
+
+    def __init__(
+        self, c_in: int, d_model: int, use_bias: bool = False, *, rngs: nnx.Rngs
+    ):
         self.conv = nnx.Conv(
             in_features=c_in,
             out_features=d_model,
             kernel_size=3,
             padding="CIRCULAR",
-            use_bias=False,
+            use_bias=use_bias,
             kernel_init=nnx.initializers.variance_scaling(
                 2.0, "fan_in", "truncated_normal"
             ),
