@@ -30,6 +30,7 @@ TPU-first redesign choices (behavior preserved, plumbing replaced):
 """
 
 import json
+import threading
 from datetime import timezone
 from pathlib import Path
 from typing import Any, Callable, Dict, List, Literal, Optional, Tuple, Union
@@ -42,7 +43,7 @@ from routeformer_tpu.io.gaze import detect_fixations
 from routeformer_tpu.io.gpmf import build_gps_points
 from routeformer_tpu.io.mp4 import MP4
 from routeformer_tpu.io.resample import convert_gps_coordinates, pchip_resample
-from routeformer_tpu.io.video import read_video
+from routeformer_tpu.io.video import WindowedVideoReader, read_video
 from routeformer_tpu.score.pci import estimate_pci_batch
 from routeformer_tpu.utils.logging import get_logger
 
@@ -112,6 +113,7 @@ class GEMDataset:
         use_cache: bool = False,
         cache_dir: Optional[Union[str, Path]] = None,
         max_cache_size: int = int(10e9),
+        share_decode: bool = True,
     ):
         self.root = Path(root)
         self.split = split if isinstance(split, list) else self.DATA_SPLIT[split]
@@ -142,6 +144,13 @@ class GEMDataset:
         self.with_gaze = with_gaze
         self.mask_nonfixations = mask_nonfixations
         self.dilution_threshold = dilution_threshold
+        # Shared sequential decode of overlapping sample windows (each
+        # source frame decoded + preprocessed once, not ~7x — see
+        # io/video.py WindowedVideoReader). Off by preference only; results
+        # are identical either way (byte-real dataset tests run both).
+        self.share_decode = share_decode
+        self._video_readers: Dict[str, Any] = {}
+        self._video_readers_lock = threading.Lock()
         self.use_cache = use_cache
 
         self.output_format = output_format.upper()
@@ -637,7 +646,9 @@ class GEMDataset:
         )
         data.update(self._get_gaze_data(subject, gaze_metadata, start_posix, end_posix))
         data = self._check_sanity(data)
-        if self.with_video:
+        if self.with_video and not self.share_decode:
+            # shared decode applies the full per-frame chain at decode time
+            # (undistort/crop/resize/f16), shared across windows
             data = self._apply_scaling(data)
             data = self._convert_to_float16(data)
         if self.stitch_videos:
@@ -648,6 +659,72 @@ class GEMDataset:
         data = self._apply_transforms(data)
         return self._train_target_split(data, subject)
 
+    def _get_reader(self, path, make_transform) -> WindowedVideoReader:
+        """Per-video shared decoder (created once, reused by all samples)."""
+        key = str(path)
+        with self._video_readers_lock:
+            reader = self._video_readers.get(key)
+            if reader is None:
+                # keep enough past to serve out-of-order windows from
+                # concurrent loader threads (window span + batch spread)
+                keep_past = float(self.input_length + self.target_length) + 18.0
+                reader = WindowedVideoReader(
+                    path, self.output_fps, make_transform(),
+                    keep_past_sec=keep_past,
+                )
+                self._video_readers[key] = reader
+            return reader
+
+    def _gopro_frame_transform(self, K, D):
+        """Per-frame preprocess chain for shared decode — byte-identical to
+        the _preprocess_gopro + _apply_scaling + _convert_to_float16 stages
+        (each is per-frame, so fusing them into decode changes nothing)."""
+        from routeformer_tpu.ops.image import (
+            crop_horizontal,
+            resize_video_numpy,
+            undistort_video_numpy,
+        )
+
+        undistort = self.undistort_videos
+        crop = self.crop_videos
+        sf = self.gopro_scaling_factor
+
+        def transform(frames):
+            if undistort:
+                frames = undistort_video_numpy(frames, K, D)
+            if crop:
+                frames = np.ascontiguousarray(crop_horizontal(frames, 0.3, 0.7))
+            if sf != 1:
+                h, w = frames.shape[1:3]
+                frames = resize_video_numpy(frames, (int(h * sf), int(w * sf)))
+            if frames.dtype == np.uint8:
+                frames = frames.astype(np.float16) / 255.0
+            return frames
+
+        return transform
+
+    def _front_frame_transform(self, camera_matrix, dist_coefs):
+        """Shared-decode preprocess for the gaze (front) camera."""
+        from routeformer_tpu.ops.image import (
+            resize_video_numpy,
+            undistort_video_numpy,
+        )
+
+        undistort = self.undistort_videos
+        sf = self.front_scaling_factor
+
+        def transform(frames):
+            if undistort:
+                frames = undistort_video_numpy(frames, camera_matrix, dist_coefs)
+            if sf != 1:
+                h, w = frames.shape[1:3]
+                frames = resize_video_numpy(frames, (int(h * sf), int(w * sf)))
+            if frames.dtype == np.uint8:
+                frames = frames.astype(np.float16) / 255.0
+            return frames
+
+        return transform
+
     def _get_video_data(self, left, right, corr_gps, start, metadata):
         origin_time = metadata["origin_time"]
         left_offset = metadata["left_offset"]
@@ -656,16 +733,32 @@ class GEMDataset:
 
         data = {}
         if self.with_video:
-            left_video = read_video(
-                left, start + left_offset, end + left_offset, self.output_fps
-            )["video"]
-            right_video = read_video(
-                right, start + right_offset, end + right_offset, self.output_fps
-            )["video"]
+            if self.share_decode:
+                left_video = self._get_reader(
+                    left,
+                    lambda: self._gopro_frame_transform(
+                        self.LEFT_VIDEO_CAMERA_INTRINSICS,
+                        self.LEFT_VIDEO_DISTORTION_COEFFICIENTS,
+                    ),
+                ).read(start + left_offset, end + left_offset)["video"]
+                right_video = self._get_reader(
+                    right,
+                    lambda: self._gopro_frame_transform(
+                        self.RIGHT_VIDEO_CAMERA_INTRINSICS,
+                        self.RIGHT_VIDEO_DISTORTION_COEFFICIENTS,
+                    ),
+                ).read(start + right_offset, end + right_offset)["video"]
+            else:
+                left_video = read_video(
+                    left, start + left_offset, end + left_offset, self.output_fps
+                )["video"]
+                right_video = read_video(
+                    right, start + right_offset, end + right_offset, self.output_fps
+                )["video"]
 
-            left_video, right_video = self._preprocess_gopro(
-                left_video, right_video
-            )
+                left_video, right_video = self._preprocess_gopro(
+                    left_video, right_video
+                )
             data["left_video"] = left_video
             data["right_video"] = right_video
 
@@ -723,6 +816,16 @@ class GEMDataset:
         video_paths = self.video_samples[subject]
         start_sec = start_posix - gaze_metadata["start_time_video"]
         end_sec = end_posix - gaze_metadata["start_time_video"]
+        if self.share_decode:
+            video_data = self._get_reader(
+                video_paths["video"],
+                lambda: self._front_frame_transform(
+                    gaze_metadata["camera_matrix"], gaze_metadata["dist_coefs"]
+                ),
+            ).read(start_sec, end_sec)
+            return (
+                {"video": video_data["video"]} if video_data["video"].size else {}
+            )
         video_data = read_video(
             video_paths["video"], start_sec, end_sec, self.output_fps
         )

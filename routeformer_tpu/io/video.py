@@ -12,7 +12,8 @@ Errors degrade to empty arrays with a warning, matching the reference's
 fault tolerance (dataset.py:2156-2159, 2330-2333).
 """
 
-from typing import Dict, Optional
+import threading
+from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -81,3 +82,206 @@ def read_video(
         return {"video": np.zeros((0, 0, 0, 3), dtype=np.uint8), "fps": fps}
 
     return {"video": np.stack(frames), "fps": fps}
+
+
+class WindowedVideoReader:
+    """Shared sequential decoder for overlapping ``[start, end)`` windows.
+
+    GEM samples are ~14 s windows at 2 s steps (reference
+    ``io/dataset.py:967-1033``), so decoding every window independently
+    re-decodes and re-preprocesses each source frame ~7× — the measured
+    cold-pipeline wall (docs/PERF.md: 0.445 clips/s vs a 20.8 clips/s
+    step). This reader decodes each frame ONCE per sequential pass:
+    decimated frames — with the optional per-frame ``transform``
+    (undistort/crop/resize/float16) applied at decode time, so that work
+    is shared too — are kept in a bounded time-indexed buffer, overlapping
+    windows are served by slicing, and the decoder only advances for the
+    unseen tail.
+
+    Parity contract: a served window is identical to
+    ``transform(read_video(path, start, end, output_fps)["video"])``
+    whenever the window start lands on the decimation grid of the current
+    pass (the GEM geometry: 2 s steps at 30 fps source / stride 6 keep
+    every start on-grid). An off-grid or backward start falls back to a
+    fresh seek — exactly ``read_video``'s code path — so correctness never
+    depends on grid alignment (tests/test_video_reader.py + the byte-real
+    dataset tests).
+
+    Thread-safe: DataLoader threads assembling different samples of the
+    same recording serialize on this reader's lock and share its decode
+    work; different videos (left/right/front) proceed in parallel.
+    """
+
+    def __init__(
+        self,
+        path,
+        output_fps: Optional[float] = None,
+        transform: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+        keep_past_sec: float = 32.0,
+    ):
+        self.path = str(path)
+        self.output_fps = output_fps
+        self.transform = transform
+        self.keep_past_sec = keep_past_sec
+        self._lock = threading.Lock()
+        self._cap = None
+        self._fps: float = 0.0
+        self._stride = 1
+        self._decoded = 0  # frames decoded since the last seek
+        self._eof = False
+        # kept (post-decimation) frames of the current pass
+        self._times: List[float] = []
+        self._frames: List[np.ndarray] = []
+        self._buf_start: Optional[float] = None  # seek target of this pass
+        self._max_start = -np.inf
+
+    # -------------------------------------------------------------- #
+
+    def _open(self) -> bool:
+        import cv2
+
+        self._cap = cv2.VideoCapture(self.path)
+        if not self._cap.isOpened():
+            self._cap = None
+            return False
+        self._fps = self._cap.get(cv2.CAP_PROP_FPS) or 30.0
+        self._stride = 1
+        if self.output_fps is not None and self.output_fps < self._fps:
+            self._stride = int(round(self._fps / self.output_fps))
+        return True
+
+    def _reset(self, start_sec: float) -> bool:
+        """Fresh seek — the ``read_video`` code path."""
+        import cv2
+
+        if self._cap is not None:
+            self._cap.release()
+            self._cap = None
+        if not self._open():
+            return False
+        if start_sec > 0:
+            self._cap.set(cv2.CAP_PROP_POS_MSEC, start_sec * 1000.0)
+        self._decoded = 0
+        self._eof = False
+        self._times.clear()
+        self._frames.clear()
+        self._buf_start = start_sec
+        return True
+
+    def _decode_until(self, end_sec: float):
+        """Advance the decoder until the next frame's time >= end_sec.
+
+        Mirrors ``read_video``'s loop exactly (pos read before grab;
+        decimation by decode counter), except the loop leaves the capture
+        positioned for later extension instead of releasing it."""
+        import cv2
+
+        while not self._eof:
+            pos_ms = self._cap.get(cv2.CAP_PROP_POS_MSEC)
+            t = pos_ms / 1000.0
+            if t >= end_sec:
+                return
+            if self._stride > 1 and self._decoded % self._stride != 0:
+                if not self._cap.grab():
+                    self._eof = True
+                    return
+                self._decoded += 1
+                continue
+            ret, frame = self._cap.read()
+            if not ret:
+                self._eof = True
+                return
+            self._decoded += 1
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            if self.transform is not None:
+                frame = self.transform(frame[None])[0]
+            self._times.append(t)
+            self._frames.append(frame)
+
+    def _evict(self):
+        cutoff = self._max_start - self.keep_past_sec
+        drop = 0
+        while drop < len(self._times) and self._times[drop] < cutoff:
+            drop += 1
+        if drop:
+            del self._times[:drop]
+            del self._frames[:drop]
+
+    # -------------------------------------------------------------- #
+
+    def read(self, start_sec: float, end_sec: float) -> Dict[str, np.ndarray]:
+        """Frames of ``[start_sec, end_sec)`` with ``transform`` applied.
+
+        Returns ``{"video": (T, ...), "fps": source_fps}`` like
+        ``read_video`` (empty (0, 0, 0, 3) array when nothing decodes).
+        """
+        with self._lock:
+            video = self._read_locked(start_sec, end_sec)
+        if video is None or not len(video):
+            logger.warning(
+                "no frames decoded from %s in [%s, %s)",
+                self.path, start_sec, end_sec,
+            )
+            return {
+                "video": np.zeros((0, 0, 0, 3), dtype=np.uint8),
+                "fps": self._fps,
+            }
+        return {"video": np.stack(video), "fps": self._fps}
+
+    def _read_locked(
+        self, start_sec: float, end_sec: float
+    ) -> Optional[List[np.ndarray]]:
+        # Reuse the current pass only for forward requests the buffer still
+        # covers; a backward start (new epoch, out-of-order older window)
+        # re-seeks — the read_video code path.
+        if (
+            self._cap is None
+            or self._buf_start is None
+            or start_sec < self._buf_start
+            or (self._times and start_sec < self._times[0])
+            or (not self._times and start_sec > self._buf_start + 1e-9)
+        ):
+            if not self._reset(start_sec):
+                return None
+
+        self._decode_until(end_sec)
+        frame_period = 1.0 / self._fps if self._fps else 0.0
+
+        if start_sec <= self._buf_start + 1e-9:
+            # fresh-seek semantics: everything cv2 delivered from the seek
+            # point belongs to the window (read_video applies no lower
+            # time bound)
+            lo = 0
+        else:
+            lo = 0
+            while lo < len(self._times) and self._times[lo] < start_sec:
+                lo += 1
+            # grid check: a kept frame must land within one source-frame
+            # period of the requested start; an off-grid start would serve
+            # a shifted decimation pattern, so re-anchor with a fresh seek.
+            on_grid = (
+                lo < len(self._times)
+                and self._times[lo] - start_sec < frame_period + 1e-9
+            )
+            if not on_grid:
+                if not self._reset(start_sec):
+                    return None
+                self._decode_until(end_sec)
+                lo = 0
+
+        hi = lo
+        while hi < len(self._times) and self._times[hi] < end_sec:
+            hi += 1
+
+        self._max_start = max(self._max_start, start_sec)
+        out = self._frames[lo:hi]
+        self._evict()
+        return out
+
+    def close(self):
+        with self._lock:
+            if self._cap is not None:
+                self._cap.release()
+                self._cap = None
+            self._times.clear()
+            self._frames.clear()

