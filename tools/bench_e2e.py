@@ -77,7 +77,11 @@ def make_dataset(root: Path, cache_dir):
     )
 
 
-def main():
+def measure() -> dict:
+    """Run the end-to-end benchmark; returns the metrics dict.
+
+    Importable from ``bench.py`` so the driver-captured artifact carries the
+    north-star end-to-end numbers (round-2 VERDICT #3)."""
     import jax.numpy as jnp
 
     from __graft_entry__ import _build_model, _flagship_config
@@ -185,26 +189,26 @@ def main():
         e2e_warm = n / wall
 
         assert np.isfinite(float(metrics["total_loss"]))
-        print(
-            json.dumps(
-                {
-                    "metric": "flagship_e2e_clips_per_sec_per_chip",
-                    "e2e_warm_value": round(e2e_warm, 3),
-                    "pipeline_cold_clips_per_sec": round(pipeline_cold, 3),
-                    "pipeline_warm_clips_per_sec": round(pipeline_warm, 3),
-                    "step_only_clips_per_sec": round(step_only, 3),
-                    "host_wait_s_per_epoch": round(host_wait, 3),
-                    "binding_side": (
-                        "pipeline" if pipeline_warm < step_only else "step"
-                    ),
-                    "n_clips_per_epoch": n,
-                    "fixture_build_s": round(build_s, 1),
-                    "frame_hw": list(FRAME_HW),
-                }
-            )
-        )
+        return {
+            "metric": "flagship_e2e_clips_per_sec_per_chip",
+            "e2e_warm_value": round(e2e_warm, 3),
+            "pipeline_cold_clips_per_sec": round(pipeline_cold, 3),
+            "pipeline_warm_clips_per_sec": round(pipeline_warm, 3),
+            "step_only_clips_per_sec": round(step_only, 3),
+            "host_wait_s_per_epoch": round(host_wait, 3),
+            "binding_side": (
+                "pipeline" if pipeline_warm < step_only else "step"
+            ),
+            "n_clips_per_epoch": n,
+            "fixture_build_s": round(build_s, 1),
+            "frame_hw": list(FRAME_HW),
+        }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def main():
+    print(json.dumps(measure()))
 
 
 if __name__ == "__main__":
