@@ -102,8 +102,13 @@ def _shift_attn_mask(h: int, w: int, window: int, shift: int) -> np.ndarray:
         for ws in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
             img[:, hs, ws, :] = cnt
             cnt += 1
-    wins = np.asarray(window_partition(jnp.asarray(img), window)).reshape(
-        -1, window * window
+    # pure-numpy window partition: this is a host-side constant (no device
+    # round-trip at trace time; also keeps the module eval_shape-safe)
+    n, h, w, c = img.shape
+    wins = (
+        img.reshape(n, h // window, window, w // window, window, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(-1, window * window)
     )
     mask = wins[:, None, :] - wins[:, :, None]
     return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
@@ -468,7 +473,7 @@ class SwinV2Backbone(VideoBackboneModule):
     def preprocess_frames(self, images: jnp.ndarray) -> jnp.ndarray:
         """Augment (train-backbone mode) + resize/normalize to native
         resolution (see vit.py — enables multi-view batched encoding)."""
-        if self.train_backbone and not self.deterministic:
+        if (self.train_backbone or self.unfreeze) and not self.deterministic:
             from routeformer_tpu.ops.augment import photometric_augment
 
             images = photometric_augment(images, self.aug_rngs())
