@@ -156,15 +156,54 @@ def prob_sparse_attention(
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
 
-    # Two formulations of the sampled-score stage (ROUTEFORMER_PROBSPARSE):
-    # - "dense" (default): one dense (B, H, L, S) MXU score matmul, reused
-    #   for both the sampling gather and the top-u rows — trades the big
-    #   gather for trivial FLOPs. Re-measured in round 2 (bf16 fusion +
-    #   merged streams + swin flagship): wins BOTH the cold step (768 vs
-    #   792 ms) and the cached steady state (142 vs 158 ms) — docs/PERF.md.
+    # Three formulations of ProbSparse (ROUTEFORMER_PROBSPARSE knob). All
+    # compute the same math; they trade data movement for FLOPs:
+    # - "masked" (default): dense scores AND dense softmax for ALL queries,
+    #   then a per-(B,H) threshold (the u-th largest sparsity measure)
+    #   selects between the dense row and the context row with one
+    #   jnp.where. No top-k INDEX path, no take_along_axis on scores, no
+    #   scatter — the three data-movement ops that made the d128 fusion
+    #   stacks latency-bound (round-2 steady-state ablation: the three
+    #   8-layer stacks were ~78% of the cached step). Output equals the
+    #   top-u scatter exactly whenever the u-th measure value is unique
+    #   (float ties are measure-zero; the exhaustive u == L case is
+    #   identical by construction).
+    # - "dense": dense (B, H, L, S) score matmul reused for the sampling
+    #   gather and the gathered top-u rows; top-k + gather + scatter.
     # - "gather": gather the sampled K rows then einsum; won at round 1's
     #   f32 unmerged-fusion shapes, kept as a knob for other geometries.
-    if os.getenv("ROUTEFORMER_PROBSPARSE", "dense") == "dense":
+    formulation = os.getenv("ROUTEFORMER_PROBSPARSE", "masked")
+    if formulation == "masked":
+        qk_full = jnp.einsum(
+            "bhle,bhse->bhls", qt, kt,
+            preferred_element_type=jnp.float32,
+        )  # (B, H, L_q, L_k)
+        qk_sample = jnp.take_along_axis(
+            qk_full, index_sample[None, None], axis=3
+        )  # (B, H, L_q, U_part)
+        m = qk_sample.max(axis=-1) - qk_sample.sum(axis=-1) / l_k  # (B,H,L)
+        # u-th largest measure per (B, H): values-only top_k (no gather)
+        thresh = jax.lax.top_k(m, u)[0][..., -1:]  # (B, H, 1)
+        selected = m >= thresh  # (B, H, L_q)
+
+        scores = qk_full * scale
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (l_q, l_k), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (l_q, l_k), 1)
+            scores = jnp.where((col > row)[None, None], _NEG_INF, scores)
+            context = jnp.cumsum(vt, axis=2)  # requires L_q == L_k
+        else:
+            context = jnp.broadcast_to(
+                vt.mean(axis=2, keepdims=True), (b, h, l_q, d)
+            )
+        attn = jax.nn.softmax(scores, axis=-1)
+        update = jnp.einsum("bhls,bhsd->bhld", attn, vt)  # (B, H, L_q, D)
+        out = jnp.where(
+            selected[..., None], update, context.astype(update.dtype)
+        )
+        return out.transpose(0, 2, 1, 3), None
+
+    if formulation == "dense":
         qk_full = jnp.einsum(
             "bhle,bhse->bhls", qt, kt,
             preferred_element_type=jnp.float32,

@@ -193,6 +193,31 @@ class TestProbSparse:
         assert out.shape == q.shape
         assert np.isfinite(np.asarray(out)).all()
 
+    @pytest.mark.parametrize("causal", [False, True])
+    @pytest.mark.parametrize("factor", [1, 3, 100])
+    def test_masked_formulation_matches_dense(self, rng, monkeypatch, causal, factor):
+        """The threshold-select ("masked") formulation must equal the
+        top-u scatter ("dense") formulation bit-for-tolerance at every
+        sparsity level — same measure, same selected set (float ties are
+        measure-zero), same context rows."""
+        L = 48
+        q = jnp.asarray(rng.normal(size=(2, L, 2, 16)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(2, L, 2, 16)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(2, L, 2, 16)).astype(np.float32))
+        key = jax.random.PRNGKey(3)
+
+        monkeypatch.setenv("ROUTEFORMER_PROBSPARSE", "dense")
+        ref, _ = prob_sparse_attention(
+            q, k, v, factor=factor, causal=causal, sample_rng=key
+        )
+        monkeypatch.setenv("ROUTEFORMER_PROBSPARSE", "masked")
+        got, _ = prob_sparse_attention(
+            q, k, v, factor=factor, causal=causal, sample_rng=key
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4
+        )
+
 
 def numpy_autocorrelation(q, k, v, factor, training):
     """Independent numpy oracle for AutoCorrelation (time-last layout)."""
