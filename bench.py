@@ -134,18 +134,43 @@ def e2e_metrics() -> dict:
     GEMDataset -> prefetching DataLoader -> flagship step. The north-star
     metric includes the input pipeline; this puts it in the driver-captured
     artifact instead of only docs/PERF.md (round-2 VERDICT #3). Skippable
-    via ROUTEFORMER_BENCH_E2E=0."""
+    via ROUTEFORMER_BENCH_E2E=0.
+
+    Runs in a FRESH SUBPROCESS before this process touches the chip: a
+    second flagship model in the same process crashed the TPU worker
+    (chip-state/HBM interaction with the earlier phases), and the chip is
+    exclusive — so the child must run while the parent has not yet
+    initialized the TPU backend. Call this first in main()."""
+    import json as _json
     import os
+    import subprocess
 
     if os.environ.get("ROUTEFORMER_BENCH_E2E", "1") == "0":
         return {}
-    sys.path.insert(0, "/root/repo/tools")
-    import bench_e2e
-
-    return bench_e2e.measure()
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/tools/bench_e2e.py"],
+        capture_output=True, text=True, timeout=5400,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"bench_e2e subprocess rc={proc.returncode}: "
+            f"{proc.stderr[-500:]}"
+        )
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return _json.loads(line)
+    raise RuntimeError("bench_e2e subprocess printed no JSON")
 
 
 def main():
+    # e2e first: it runs in a subprocess and the chip is exclusive, so it
+    # must finish before this process initializes the TPU backend.
+    try:
+        e2e = e2e_metrics()
+    except Exception as e:  # noqa: BLE001
+        print(f"e2e phase failed: {e}", file=sys.stderr)
+        e2e = {}
     value = bench_jax_cold()
     try:
         steady = bench_jax_steady_state()
@@ -164,11 +189,6 @@ def main():
     vs_baseline_std = (
         vs_baseline * torch_clips_std / torch_clips if torch_clips > 0 else 0.0
     )
-    try:
-        e2e = e2e_metrics()
-    except Exception as e:  # noqa: BLE001
-        print(f"e2e phase failed: {e}", file=sys.stderr)
-        e2e = {}
     result = {
         "metric": "flagship_train_step_clips_per_sec_per_chip",
         "value": round(value, 3),

@@ -139,6 +139,23 @@ class TestParallelTrainer:
         )
         assert abs(got - last_only) > 1e-6, "epoch metric equals last batch"
 
+    def test_eval_no_per_batch_host_rebuild(self, trainer, batch, monkeypatch):
+        """Round-2 VERDICT weak #5 regression: after the eval programs are
+        built, evaluating a batch must not re-merge/re-split models on the
+        host (the reseed lives INSIDE the jitted step)."""
+        from flax import nnx as nnx_mod
+
+        trainer.eval_step(batch, "val")  # build + trace once
+
+        calls = []
+        orig_merge = nnx_mod.merge
+        monkeypatch.setattr(
+            nnx_mod, "merge",
+            lambda *a, **k: (calls.append(1), orig_merge(*a, **k))[1],
+        )
+        trainer.eval_batch_raw(batch)
+        assert not calls, f"{len(calls)} host-side merges per eval batch"
+
     def test_baseline_eval_sanity(self, trainer, batch):
         """Stationary baseline ADE = mean distance from last fix to target."""
         metrics = trainer.eval_step(batch, "val")
