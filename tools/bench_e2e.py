@@ -42,7 +42,11 @@ else:
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-BATCH = 4 if DEBUG else 8
+# Batch 16 = bench.py's step geometry, so step_only here matches the
+# official cold number directly. (Also sidesteps a batch-8-specific TPU
+# worker fault under the full-step schedule — see docs/PERF.md round 3;
+# isolated-kernel probes pass at every batch-8 shape.)
+BATCH = 4 if DEBUG else 16
 DURATION_S = 60.0 if DEBUG else 240.0
 FRAME_HW = (270, 480)  # 0.2 scaling -> (54, 96), the bench.py step geometry
 
