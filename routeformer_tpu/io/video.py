@@ -100,12 +100,17 @@ class WindowedVideoReader:
 
     Parity contract: a served window is identical to
     ``transform(read_video(path, start, end, output_fps)["video"])``
-    whenever the window start lands on the decimation grid of the current
-    pass (the GEM geometry: 2 s steps at 30 fps source / stride 6 keep
-    every start on-grid). An off-grid or backward start falls back to a
-    fresh seek — exactly ``read_video``'s code path — so correctness never
-    depends on grid alignment (tests/test_video_reader.py + the byte-real
-    dataset tests).
+    whenever the window start differs from the pass anchor by a whole
+    number of source frames that is also a multiple of the decimation
+    stride. Landing is inferred by *induction from the anchor*: the pass
+    anchor was produced by a real ``cv2`` seek, and a start exactly ``k``
+    frame periods later lands exactly ``k`` frames later (constant frame
+    rate), so no model of cv2's seek rounding is needed — GEM windows
+    (2 s steps at 30 fps / stride 6 = 60 frames apart, any constant clock
+    offset) all ride one pass. An off-grid or backward start falls back to
+    a fresh seek — exactly ``read_video``'s code path — so correctness
+    never depends on grid alignment (tests/test_video_reader.py + the
+    byte-real dataset tests).
 
     Thread-safe: DataLoader threads assembling different samples of the
     same recording serialize on this reader's lock and share its decode
@@ -133,7 +138,16 @@ class WindowedVideoReader:
         self._times: List[float] = []
         self._frames: List[np.ndarray] = []
         self._buf_start: Optional[float] = None  # seek target of this pass
+        # recorded time of the pass's SECOND kept frame — the induction
+        # reference. cv2's POS_MSEC lags the delivered frame by one source
+        # period uniformly during sequential decode, but the very first
+        # read of a 0-start pass reports 0 instead of -1/fps, so the first
+        # frame's recorded time is NOT a safe reference; the second kept
+        # frame always follows the uniform convention.
+        self._induction_ref: Optional[float] = None
+        self._kept = 0  # kept frames appended this pass
         self._max_start = -np.inf
+        self.n_resets = 0  # observability: fresh seeks taken (incl. opens)
 
     # -------------------------------------------------------------- #
 
@@ -166,6 +180,9 @@ class WindowedVideoReader:
         self._times.clear()
         self._frames.clear()
         self._buf_start = start_sec
+        self._induction_ref = None
+        self._kept = 0
+        self.n_resets += 1
         return True
 
     def _decode_until(self, end_sec: float):
@@ -195,6 +212,9 @@ class WindowedVideoReader:
             frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
             if self.transform is not None:
                 frame = self.transform(frame[None])[0]
+            if self._kept == 1 and self._induction_ref is None:
+                self._induction_ref = t
+            self._kept += 1
             self._times.append(t)
             self._frames.append(frame)
 
@@ -228,42 +248,80 @@ class WindowedVideoReader:
             }
         return {"video": np.stack(video), "fps": self._fps}
 
+    def _grid_landing(self, start_sec: float):
+        """Where a fresh seek to ``start_sec`` would land in this pass's
+        buffer, by induction from the anchor — ``"anchor"`` (serve from
+        the buffer head), a predicted recorded time, or None (off-grid).
+
+        The pass anchor came from a real cv2 seek to ``_buf_start``. At
+        constant frame rate a seek target exactly ``k`` frame periods
+        later delivers a frame exactly ``k`` frames later, whatever cv2's
+        seek rounding rule is — so no model of that rule is needed. The
+        landing is servable from this pass iff ``k`` is a non-negative
+        whole number of frames AND a multiple of the decimation stride
+        (same kept-frame phase). The predicted recorded time is computed
+        from the pass's second kept frame (``_induction_ref``) because
+        cv2's POS_MSEC convention for the first frame of a 0-start pass
+        differs from the steady one-period lag."""
+        if self._buf_start is None or not self._fps:
+            return None
+        k = (start_sec - self._buf_start) * self._fps
+        k_round = round(k)
+        if abs(k - k_round) > 0.01 or k_round < 0:
+            return None
+        if k_round % self._stride != 0:
+            return None
+        if k_round == 0:
+            return "anchor"
+        if self._induction_ref is None:
+            return None
+        return self._induction_ref + (k_round - self._stride) / self._fps
+
     def _read_locked(
         self, start_sec: float, end_sec: float
     ) -> Optional[List[np.ndarray]]:
-        # Reuse the current pass only for forward requests the buffer still
-        # covers; a backward start (new epoch, out-of-order older window)
-        # re-seeks — the read_video code path.
-        if (
-            self._cap is None
-            or self._buf_start is None
-            or start_sec < self._buf_start
-            or (self._times and start_sec < self._times[0])
-            or (not self._times and start_sec > self._buf_start + 1e-9)
-        ):
+        # Reuse the current pass only for requests whose fresh-seek landing
+        # frame is predictable (on this pass's grid) and still buffered;
+        # anything else — backward starts, off-grid starts, evicted
+        # history — re-seeks: the read_video code path.
+        frame_period = 1.0 / self._fps if self._fps else 0.0
+        landing = self._grid_landing(start_sec)
+        if landing == "anchor":
+            # re-serving the pass's own start window: only valid while the
+            # buffer head (the landing frame of the original seek) is
+            # still there
+            reusable = self._cap is not None and self._kept == len(self._times)
+        else:
+            reusable = (
+                self._cap is not None
+                and landing is not None
+                and (
+                    not self._times
+                    or landing >= self._times[0] - frame_period / 2
+                )
+            )
+        if not reusable:
             if not self._reset(start_sec):
                 return None
-
-        self._decode_until(end_sec)
-        frame_period = 1.0 / self._fps if self._fps else 0.0
-
-        if start_sec <= self._buf_start + 1e-9:
+            self._decode_until(end_sec)
             # fresh-seek semantics: everything cv2 delivered from the seek
             # point belongs to the window (read_video applies no lower
             # time bound)
             lo = 0
-        else:
+        elif landing == "anchor":
+            self._decode_until(end_sec)
             lo = 0
-            while lo < len(self._times) and self._times[lo] < start_sec:
+        else:
+            self._decode_until(end_sec)
+            half = frame_period / 2
+            lo = 0
+            while lo < len(self._times) and self._times[lo] < landing - half:
                 lo += 1
-            # grid check: a kept frame must land within one source-frame
-            # period of the requested start; an off-grid start would serve
-            # a shifted decimation pattern, so re-anchor with a fresh seek.
-            on_grid = (
-                lo < len(self._times)
-                and self._times[lo] - start_sec < frame_period + 1e-9
-            )
-            if not on_grid:
+            if not (
+                lo < len(self._times) and abs(self._times[lo] - landing) <= half
+            ):
+                # induction violated (variable frame rate / timestamp
+                # jitter): fall back to the fresh-seek path
                 if not self._reset(start_sec):
                     return None
                 self._decode_until(end_sec)

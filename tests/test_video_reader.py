@@ -50,6 +50,36 @@ class TestWindowedVideoReader:
             np.testing.assert_array_equal(shared, fresh, err_msg=f"window {k}")
         reader.close()
 
+    def test_fractional_offset_windows_share_pass(self, video_path):
+        """The REAL GEM pattern: window starts carry a constant fractional
+        clock offset (start + video_offset), consecutive starts exactly
+        2 s apart. These must ride ONE decode pass (landing inferred by
+        induction from the anchor), not reset per window — the round-3
+        cold-pipeline profile showed the strict >=start serve rule reset
+        on every such read (68 seeks / 69 reads)."""
+        for offset in (0.367, 1.967 % STEP, 0.0333):
+            reader = WindowedVideoReader(video_path, OUTPUT_FPS)
+            for k in range(8):
+                start = k * STEP + offset
+                shared = reader.read(start, start + WINDOW)["video"]
+                fresh = _fresh(video_path, start, start + WINDOW)
+                np.testing.assert_array_equal(
+                    shared, fresh, err_msg=f"offset {offset} window {k}"
+                )
+            assert reader.n_resets == 1, (
+                f"offset {offset}: expected one shared pass, "
+                f"got {reader.n_resets} seeks"
+            )
+            reader.close()
+
+    def test_on_grid_windows_share_pass(self, video_path):
+        """Exact-multiple starts must also stay on one pass."""
+        reader = WindowedVideoReader(video_path, OUTPUT_FPS)
+        for k in range(10):
+            reader.read(k * STEP, k * STEP + WINDOW)
+        assert reader.n_resets == 1
+        reader.close()
+
     def test_off_grid_start_falls_back(self, video_path):
         """A start that misses the decimation grid must still match a fresh
         per-window decode (reset path)."""
