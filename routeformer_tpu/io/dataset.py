@@ -215,6 +215,7 @@ class GEMDataset:
                 cache_root,
                 params_repr=self._params_repr(),
                 max_size_bytes=max_cache_size,
+                async_writes=True,
             )
 
         self._indexer = self._create_indexer(cache_dir)

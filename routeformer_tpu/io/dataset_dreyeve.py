@@ -245,6 +245,7 @@ class DreyeveDataset:
                     )
                 ),
                 max_size_bytes=max_cache_size,
+                async_writes=True,
             )
 
         self.split = split if isinstance(split, list) else self.DATA_SPLIT[split]

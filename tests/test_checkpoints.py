@@ -211,6 +211,54 @@ class TestSampleCache:
         assert cache.get_or_compute("k", compute) == 42
         assert len(calls) == 1
 
+    def test_async_roundtrip_after_flush(self, tmp_path, rng):
+        cache = SampleCache(tmp_path, async_writes=True)
+        sample = {"gps": rng.normal(size=(40, 2))}
+        cache.push("item-0", sample)
+        cache.flush()
+        hit = cache.fetch("item-0")
+        np.testing.assert_array_equal(hit["gps"], sample["gps"])
+        # and a sync reader (different instance) sees the durable entry
+        other = SampleCache(tmp_path)
+        assert other.fetch("item-0") is not None
+
+    def test_async_push_snapshots_sample(self, tmp_path):
+        # mutation after push must not leak into the cache: the sample is
+        # pickled synchronously at push time, only compress+IO deferred
+        cache = SampleCache(tmp_path, async_writes=True)
+        sample = {"vals": np.arange(8)}
+        cache.push("k", sample)
+        sample["vals"][:] = -1
+        cache.flush()
+        np.testing.assert_array_equal(cache.fetch("k")["vals"], np.arange(8))
+
+    def test_async_many_threads(self, tmp_path, rng):
+        import concurrent.futures
+
+        cache = SampleCache(tmp_path, async_writes=True)
+        arrs = {f"i{i}": rng.normal(size=(64,)) for i in range(32)}
+        with concurrent.futures.ThreadPoolExecutor(8) as pool:
+            list(pool.map(lambda kv: cache.push(kv[0], kv[1]), arrs.items()))
+        cache.flush()
+        for k, v in arrs.items():
+            np.testing.assert_array_equal(cache.fetch(k), v)
+        # running size counter matches the directory truth
+        assert cache.size_bytes() == sum(
+            p.stat().st_size for p in tmp_path.glob("*.zst")
+        )
+
+    def test_size_counter_tracks_heal(self, tmp_path):
+        cache = SampleCache(tmp_path)
+        cache.push("a", list(range(1000)))
+        before = cache.size_bytes()
+        assert before > 0
+        path = next(tmp_path.glob("*.zst"))
+        path.write_bytes(b"garbage")
+        # corrupt-entry self-heal decrements the running counter
+        cache._size = sum(p.stat().st_size for p in tmp_path.glob("*.zst"))
+        assert cache.fetch("a") is None
+        assert cache.size_bytes() == 0
+
 
 class TestStitcher:
     def test_stitch_shifted_pair(self, rng):
