@@ -285,6 +285,10 @@ def build_data(with_video: bool):
             with_video=with_video,
             use_cache=cache_dir is not None,
             cache_dir=cache_dir,
+            # uint8 wire format: half the cache bytes + H2D payload; the
+            # jitted step dequantizes on-device, bit-identical values
+            # (ops/image.dequantize_videos)
+            video_dtype=os.getenv("VIDEO_DTYPE", "uint8"),
         )
         if DATASET == "DREYEVE":
             from routeformer_tpu.io.dataset_dreyeve import DreyeveDataset

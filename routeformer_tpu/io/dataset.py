@@ -114,6 +114,7 @@ class GEMDataset:
         cache_dir: Optional[Union[str, Path]] = None,
         max_cache_size: int = int(10e9),
         share_decode: bool = True,
+        video_dtype: str = "float16",
     ):
         self.root = Path(root)
         self.split = split if isinstance(split, list) else self.DATA_SPLIT[split]
@@ -149,6 +150,19 @@ class GEMDataset:
         # io/video.py WindowedVideoReader). Off by preference only; results
         # are identical either way (byte-real dataset tests run both).
         self.share_decode = share_decode
+        # Wire format of served video tensors. "float16" converts on the
+        # host like the reference (dataset.py:1506-1523); "uint8" keeps
+        # frames uint8 through the sample cache and the host->device
+        # transfer (half the bytes, half the zstd work) and the exact same
+        # conversion runs on-device inside the jitted step
+        # (ops/image.dequantize_videos) — values are bit-identical. The cv2
+        # preprocess chain (undistort/crop/resize) runs on uint8 either
+        # way, exactly as the reference orders it (dataset.py:1269-1270).
+        if video_dtype not in ("float16", "uint8"):
+            raise ValueError(
+                f"video_dtype must be 'float16' or 'uint8', got {video_dtype}"
+            )
+        self.video_dtype = video_dtype
         self._video_readers: Dict[str, Any] = {}
         self._video_readers_lock = threading.Lock()
         self.use_cache = use_cache
@@ -484,7 +498,7 @@ class GEMDataset:
                 self.gopro_scaling_factor, self.front_scaling_factor,
                 self.frame_transform, self.video_transform, self.output_format,
                 self.dilution_threshold, self.with_video, self.with_gaze,
-                self.mask_nonfixations,
+                self.mask_nonfixations, self.video_dtype,
             )
         )
 
@@ -653,9 +667,15 @@ class GEMDataset:
             data = self._apply_scaling(data)
             data = self._convert_to_float16(data)
         if self.stitch_videos:
+            # the stitcher's contract is float [0,1] (what the reference
+            # stitches after its f16 conversion); normalize uint8 wire
+            # frames here — the stitched stream stays f16 (synthesized)
+            def _f32(v):
+                v = v.astype(np.float32)
+                return v / 255.0 if data["left_video"].dtype == np.uint8 else v
+
             data["stitched_video"] = self.stitcher.stitch_sequence(
-                data["left_video"].astype(np.float32),
-                data["right_video"].astype(np.float32),
+                _f32(data["left_video"]), _f32(data["right_video"]),
             ).astype(np.float16)
         data = self._apply_transforms(data)
         return self._train_target_split(data, subject)
@@ -689,6 +709,7 @@ class GEMDataset:
         undistort = self.undistort_videos
         crop = self.crop_videos
         sf = self.gopro_scaling_factor
+        to_f16 = self.video_dtype == "float16"
 
         def transform(frames):
             if undistort:
@@ -698,7 +719,7 @@ class GEMDataset:
             if sf != 1:
                 h, w = frames.shape[1:3]
                 frames = resize_video_numpy(frames, (int(h * sf), int(w * sf)))
-            if frames.dtype == np.uint8:
+            if to_f16 and frames.dtype == np.uint8:
                 frames = frames.astype(np.float16) / 255.0
             return frames
 
@@ -713,6 +734,7 @@ class GEMDataset:
 
         undistort = self.undistort_videos
         sf = self.front_scaling_factor
+        to_f16 = self.video_dtype == "float16"
 
         def transform(frames):
             if undistort:
@@ -720,7 +742,7 @@ class GEMDataset:
             if sf != 1:
                 h, w = frames.shape[1:3]
                 frames = resize_video_numpy(frames, (int(h * sf), int(w * sf)))
-            if frames.dtype == np.uint8:
+            if to_f16 and frames.dtype == np.uint8:
                 frames = frames.astype(np.float16) / 255.0
             return frames
 
@@ -925,6 +947,8 @@ class GEMDataset:
         return data
 
     def _convert_to_float16(self, data):
+        if self.video_dtype == "uint8":
+            return data
         for key in ("left_video", "right_video", "front_video", "stitched_video"):
             if key in data and data[key].dtype == np.uint8:
                 data[key] = data[key].astype(np.float16) / 255.0

@@ -183,6 +183,7 @@ class DreyeveDataset:
         max_length: Optional[int] = None,
         seed: int = 4242,
         filter_scene: Optional[List[str]] = None,
+        video_dtype: str = "float16",
     ):
         random.seed(seed)
         self.index_column = "frame_gar"
@@ -197,6 +198,11 @@ class DreyeveDataset:
         self.max_pci = max_pci
         self.with_video = with_video
         self.crop_videos = crop_videos
+        if video_dtype not in ("float16", "uint8"):
+            raise ValueError(
+                f"video_dtype must be 'float16' or 'uint8', got {video_dtype}"
+            )
+        self.video_dtype = video_dtype
         self.use_frames = use_frames
         self.use_memory_cache = use_memory_cache
         self.max_memory_cache_size = max_memory_cache_size
@@ -555,13 +561,16 @@ class DreyeveDataset:
 
     def _postprocess(self, data):
         """f16 conversion + 15%/35% vertical crop (reference :1130-1141,
-        :1219-1227)."""
+        :1219-1227). With ``video_dtype="uint8"`` frames stay uint8 on the
+        wire and the jitted step converts on-device
+        (ops/image.dequantize_videos) — bit-identical values."""
         if self.with_video:
-            for phase in ("train", "target"):
-                for key in ("left_video", "front_video"):
-                    v = data[phase][key]
-                    if v.dtype == np.uint8:
-                        data[phase][key] = v.astype(np.float16) / 255.0
+            if self.video_dtype == "float16":
+                for phase in ("train", "target"):
+                    for key in ("left_video", "front_video"):
+                        v = data[phase][key]
+                        if v.dtype == np.uint8:
+                            data[phase][key] = v.astype(np.float16) / 255.0
             if self.crop_videos:
                 for phase in ("train", "target"):
                     v = data[phase]["left_video"]

@@ -80,6 +80,10 @@ class InverseForm(VideoBackboneModule):
         The reference feeds raw (un-normalized) float images
         (InverseForm.py:157-159) — preserved.
         """
+        if images.dtype == jnp.uint8:
+            from routeformer_tpu.ops.image import to_float16
+
+            images = to_float16(images)
         images = images.astype(jnp.float32)
         trainable = self.train_backbone or self.unfreeze
         feats = self.backbone(

@@ -459,6 +459,10 @@ class SwinV2Backbone(VideoBackboneModule):
         return self._output_feature_shape
 
     def preprocess(self, images: jnp.ndarray) -> jnp.ndarray:
+        if images.dtype == jnp.uint8:
+            from routeformer_tpu.ops.image import to_float16
+
+            images = to_float16(images)
         n, h, w, c = images.shape
         if self.configs.pad_to_square and h != w:
             side = max(h, w)
@@ -473,6 +477,10 @@ class SwinV2Backbone(VideoBackboneModule):
     def preprocess_frames(self, images: jnp.ndarray) -> jnp.ndarray:
         """Augment (train-backbone mode) + resize/normalize to native
         resolution (see vit.py — enables multi-view batched encoding)."""
+        if images.dtype == jnp.uint8:
+            from routeformer_tpu.ops.image import to_float16
+
+            images = to_float16(images)
         if (self.train_backbone or self.unfreeze) and not self.deterministic:
             from routeformer_tpu.ops.augment import photometric_augment
 

@@ -171,8 +171,12 @@ class TimmBackbone(VideoBackboneModule):
     def preprocess(self, images: jnp.ndarray) -> jnp.ndarray:
         """Pad to square, resize to native resolution, normalize.
 
-        images: (N, H, W, C) float in [0, 1].
+        images: (N, H, W, C) float in [0, 1] (or uint8 wire format).
         """
+        if images.dtype == jnp.uint8:
+            from routeformer_tpu.ops.image import to_float16
+
+            images = to_float16(images)
         n, h, w, c = images.shape
         if self.configs.pad_to_square and h != w:
             side = max(h, w)
@@ -193,6 +197,10 @@ class TimmBackbone(VideoBackboneModule):
         resolution. Streams of different raw resolutions become concatenable
         after this — the split lets the model batch several views through
         one ``encode_frames`` call."""
+        if images.dtype == jnp.uint8:
+            from routeformer_tpu.ops.image import to_float16
+
+            images = to_float16(images)
         if (self.train_backbone or self.unfreeze) and not self.deterministic:
             from routeformer_tpu.ops.augment import photometric_augment
 

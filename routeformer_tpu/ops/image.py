@@ -134,6 +134,30 @@ def to_float16(frames) -> jnp.ndarray:
     return (jnp.asarray(frames).astype(jnp.float32) / 255.0).astype(jnp.float16)
 
 
+def dequantize_videos(batch: dict) -> dict:
+    """uint8 wire-format videos -> float16 [0,1], on device, inside jit.
+
+    With ``video_dtype="uint8"`` the datasets keep frames uint8 through the
+    sample cache and the host->device transfer (half the bytes of the
+    reference's host-side f16 conversion, dataset.py:1506-1523) and the
+    conversion happens here, at the top of the jitted step. Dispatch is on
+    the traced dtype, so f16 batches pass through untouched and the two
+    wire formats compile to distinct programs. ``to_float16`` divides in
+    f32 and rounds once, which reproduces the host conversion bit-exactly
+    for all 256 values on every backend (tests/test_gaze_and_image.py).
+    """
+    return {
+        k: (
+            dequantize_videos(v)
+            if isinstance(v, dict)
+            else to_float16(v)
+            if "video" in k and getattr(v, "dtype", None) == jnp.uint8
+            else v
+        )
+        for k, v in batch.items()
+    }
+
+
 # --------------------------------------------------------------------------- #
 # Host-side (cv2) twins for the dataset's threaded input path.
 #

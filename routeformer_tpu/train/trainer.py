@@ -177,6 +177,11 @@ class ParallelTrainer:
         loss_fn = self._loss_fn
 
         def grad_step(params, state, inp, tgt, epoch):
+            from routeformer_tpu.ops.image import dequantize_videos
+
+            # uint8 wire-format batches convert on-device (trace-time
+            # dtype dispatch; f16 batches pass through untouched)
+            inp, tgt = dequantize_videos(inp), dequantize_videos(tgt)
             model = nnx.merge(graphdef, params, state)
 
             def model_loss(m):
@@ -373,6 +378,9 @@ class ParallelTrainer:
         losses = self.losses
 
         def eval_step(params, state, inp, target_gps, epoch):
+            from routeformer_tpu.ops.image import dequantize_videos
+
+            inp = dequantize_videos(inp)
             model = nnx.merge(graphdef, params, state)
             # Reseed dropout/sampling streams for reproducible MC eval
             # inside the compiled program (match_shape: scanned layer

@@ -152,6 +152,42 @@ class TestImageOps:
         assert out.dtype == np.float16
         np.testing.assert_allclose(out[0, 0, 0], [0, 128 / 255, 1.0], atol=1e-3)
 
+    def test_to_float16_matches_host_conversion_for_all_values(self):
+        # the uint8 wire format relies on the on-device conversion being
+        # bit-identical to the host-side one (reference dataset.py:1522)
+        u = np.arange(256, dtype=np.uint8).reshape(1, 16, 16, 1)
+        host = u.astype(np.float16) / 255.0
+        np.testing.assert_array_equal(np.asarray(to_float16(u)), host)
+
+    def test_dequantize_videos_dispatch(self):
+        from routeformer_tpu.ops.image import dequantize_videos
+
+        u8_video = jnp.asarray(
+            np.random.default_rng(0).integers(0, 256, (2, 3, 4, 4, 3), np.uint8)
+        )
+        f16_video = jnp.asarray(
+            np.random.default_rng(1).random((2, 3, 4, 4, 3)).astype(np.float16)
+        )
+        gps = jnp.zeros((2, 5, 2), jnp.float32)
+        u8_not_video = jnp.asarray(np.arange(4, dtype=np.uint8))
+        batch = {
+            "left_video": u8_video,
+            "front_video": f16_video,
+            "gps": gps,
+            "mask": u8_not_video,
+            "nested": {"right_video": u8_video},
+        }
+        out = dequantize_videos(batch)
+        assert out["left_video"].dtype == jnp.float16
+        np.testing.assert_array_equal(
+            np.asarray(out["left_video"]),
+            np.asarray(u8_video).astype(np.float16) / 255.0,
+        )
+        assert out["front_video"] is f16_video  # pass-through
+        assert out["gps"] is gps
+        assert out["mask"] is u8_not_video  # only *video* keys convert
+        assert out["nested"]["right_video"].dtype == jnp.float16
+
 
 class TestHeatmap:
     def test_peak_at_gaze_point(self):

@@ -124,8 +124,40 @@ class TestGEMDatasetItems:
         t0 = time.time()
         a = ds[0]
         cold = time.time() - t0
+        ds._sample_cache.flush()  # async writes: make the warm read a true hit
         t0 = time.time()
         b = ds[0]
         warm = time.time() - t0
         np.testing.assert_array_equal(a["train"]["gps"], b["train"]["gps"])
         assert warm < cold
+
+    def test_uint8_wire_format_matches_float16(self, gem_root):
+        root, _ = gem_root
+        ds_f16 = make_dataset(root)
+        ds_u8 = make_dataset(root, video_dtype="uint8")
+        a, b = ds_f16[0], ds_u8[0]
+        for phase in ("train", "target"):
+            for key in a[phase]:
+                if "video" in key:
+                    assert b[phase][key].dtype == np.uint8, key
+                    # on-device conversion twin must be bit-identical to
+                    # the host conversion (reference dataset.py:1522)
+                    np.testing.assert_array_equal(
+                        a[phase][key],
+                        b[phase][key].astype(np.float16) / 255.0,
+                        err_msg=key,
+                    )
+                else:
+                    np.testing.assert_array_equal(
+                        a[phase][key], b[phase][key], err_msg=key
+                    )
+
+    def test_uint8_wire_format_busts_cache(self, gem_root, tmp_path):
+        root, _ = gem_root
+        ds_u8 = make_dataset(root, video_dtype="uint8", use_cache=True,
+                             cache_dir=tmp_path)
+        _ = ds_u8[0]
+        ds_u8._sample_cache.flush()
+        ds_f16 = make_dataset(root, use_cache=True, cache_dir=tmp_path)
+        item = ds_f16[0]  # must NOT serve the uint8-mode entry
+        assert item["train"]["left_video"].dtype == np.float16

@@ -448,3 +448,95 @@ class TestAutoregressiveEval:
         assert ade_keys and all(
             np.isfinite(float(metrics[k])) for k in ade_keys
         )
+
+
+class TestUint8WireFormat:
+    """uint8 wire-format batches (dataset video_dtype="uint8") must train
+    and eval identically to float16 batches: the jitted step dequantizes
+    on-device with the exact host-conversion twin (ops/image.to_float16)."""
+
+    @staticmethod
+    def _make_trainer():
+        from routeformer_tpu.models.video_backbone import (
+            TimmBackbone,
+            TimmBackboneConfig,
+        )
+
+        gps_cfg = GPSBackboneConfig(
+            seq_len=SEQ_LEN, label_len=SEQ_LEN, pred_len=PRED_LEN,
+            d_model=32, n_heads=4, e_layers=1, d_layers=1, d_ff=64,
+            factor=4, dropout=0.0, activation="relu", distil=True,
+        )
+        cfg = RouteformerConfig(
+            gps_backbone_config=gps_cfg,
+            video_backbone_config=TimmBackboneConfig(
+                model_type="vit_tiny_test", cache_enabled=False,
+                compute_dtype="float32",
+            ),
+            decoder_mode="smart",
+            with_video=True, with_gaze=False,
+            discount_factor={0: 0.97}, epsilon=1.0,
+            image_embedding_size=16, encoder_hidden_size=16,
+            encoder_heads=4, encoder_layers=1, encoder_d_ff=32,
+            cross_modal_decoder_heads=4, cross_modal_decoder_layers=1,
+            output_fps=5, video_fps=1, gaze_fps=1,
+        )
+        models = {
+            "flagship": Routeformer(
+                cfg, gps_backbone=Informer, video_backbone=TimmBackbone,
+                rngs=nnx.Rngs(0, dropout=1),
+            )
+        }
+        tx = build_optimizer(
+            learning_rate=1e-3, video_backbone_lr=1e-6,
+            warmup_epochs=0, max_epochs=10, gradient_clip_val=2.5,
+        )
+        return ParallelTrainer(models, tx, cfg)
+
+    @staticmethod
+    def _batch_pair():
+        base = synthetic_batch(
+            0, batch_size=2, seq_len=SEQ_LEN, pred_len=PRED_LEN,
+            fps=5, with_video=True, with_gaze=False, frame_hw=(16, 24),
+        )
+        rng = np.random.default_rng(7)
+        u8, f16 = {}, {}
+        for phase in ("train", "target"):
+            u8[phase], f16[phase] = dict(base[phase]), dict(base[phase])
+            for key, v in base[phase].items():
+                if "video" in key:
+                    raw = rng.integers(0, 256, v.shape, np.uint8)
+                    u8[phase][key] = raw
+                    f16[phase][key] = raw.astype(np.float16) / 255.0
+        for extra in base:
+            if extra not in ("train", "target"):
+                u8[extra] = f16[extra] = base[extra]
+        return u8, f16
+
+    def test_train_and_eval_match_f16(self):
+        u8_batch, f16_batch = self._batch_pair()
+        t_u8, t_f16 = self._make_trainer(), self._make_trainer()
+
+        m_u8 = t_u8.training_step(u8_batch)
+        m_f16 = t_f16.training_step(f16_batch)
+        np.testing.assert_allclose(
+            float(m_u8["train_total_loss"]),
+            float(m_f16["train_total_loss"]), rtol=1e-6,
+        )
+        # post-step parameters agree (the dequantized values are identical;
+        # only compiled-program fusion boundaries may differ)
+        a = jax.tree.leaves(t_u8.params["flagship"].to_pure_dict())
+        b = jax.tree.leaves(t_f16.params["flagship"].to_pure_dict())
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=2e-5, atol=1e-7
+            )
+
+        e_u8 = t_u8.eval_step(u8_batch)
+        e_f16 = t_f16.eval_step(f16_batch)
+        keys = [k for k in e_u8 if k.endswith("_ade")]
+        assert keys
+        for k in keys:
+            np.testing.assert_allclose(
+                float(e_u8[k]), float(e_f16[k]), rtol=1e-5
+            )

@@ -78,6 +78,9 @@ def make_dataset(root: Path, cache_dir):
         with_gaze=True,
         use_cache=cache_dir is not None,
         cache_dir=cache_dir,
+        # uint8 wire format (the driver default): halves the sample-cache
+        # bytes and the tunnel H2D payload; the step dequantizes on-device
+        video_dtype=os.getenv("VIDEO_DTYPE", "uint8"),
     )
 
 

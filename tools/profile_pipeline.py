@@ -87,7 +87,10 @@ def main():
         stats.sort_stats("tottime").print_stats(25)
         print(s.getvalue())
 
-        # warm pass (sample-cache hits) for the read-side split
+        # warm pass (sample-cache hits) for the read-side split; drain the
+        # async writer first so every warm read is a true hit
+        if dataset._sample_cache is not None:
+            dataset._sample_cache.flush()
         prof2 = cProfile.Profile()
         t0 = time.perf_counter()
         prof2.enable()
