@@ -1,0 +1,214 @@
+"""Device-resident frame store: content-hash dedup of video H2D transfers.
+
+GEM/DR(eye)VE samples are overlapping windows (14 s span at 2 s steps —
+reference ``io/dataset.py:967-1033``), so consecutive batches re-ship
+~6/7 of their video bytes; across epochs, ALL of them. On a
+bandwidth-limited host->device link (the tunnel rig measures ~16 MB/s;
+PCIe hosts are faster but video still dominates the wire), that transfer
+is the end-to-end wall. The reference leans on its embedding cache to
+shrink repeat traffic (``torchcache`` role); this store is the same idea
+one level down, applied at the transfer layer with no model involvement:
+
+- each decimated frame is keyed by a blake2b content hash (host side),
+- novel frames are shipped once and scattered into a fixed device-resident
+  ring buffer (donated, in-place),
+- the batch tensor the training step consumes is assembled ON DEVICE by a
+  gather — bit-identical to shipping the full windows, whatever the access
+  order (sequential, shuffled, cross-epoch).
+
+Static-shape discipline: the gather program is one compile per batch
+geometry; scatter programs are bucketed to power-of-two novel counts with
+out-of-range padding slots dropped via ``.at[].set(mode="drop")`` — a
+handful of programs total, no per-batch recompiles.
+
+Not thread-safe by itself: one store belongs to one producer thread (the
+``DataLoader`` prefetch thread). Slot assignment never evicts a slot that
+the current batch references.
+"""
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from routeformer_tpu.utils.logging import get_logger
+
+logger = get_logger("io.frame_store")
+
+
+def _hash_frame(frame: np.ndarray) -> bytes:
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    h.update(frame)  # C-contiguous buffer, no copy
+    return h.digest()
+
+
+class DeviceFrameStore:
+    """Ring buffer of frames on the device + host-side content index."""
+
+    def __init__(
+        self,
+        frame_shape: Tuple[int, ...],
+        dtype,
+        capacity: int,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        if capacity < 1:
+            raise ValueError(f"capacity must be >= 1, got {capacity}")
+        self.frame_shape = tuple(frame_shape)
+        self.dtype = np.dtype(dtype)
+        self.capacity = int(capacity)
+        self._store = jnp.zeros(
+            (self.capacity, *self.frame_shape), dtype=self.dtype
+        )
+        self._slot_of: Dict[bytes, int] = {}
+        self._key_at = [None] * self.capacity
+        self._cursor = 0
+        # observability
+        self.frames_seen = 0
+        self.frames_shipped = 0
+
+        @jax.jit
+        def gather(store, idx):
+            return jnp.take(store, idx, axis=0)
+
+        def scatter(store, slots, frames):
+            # OOB padding slots are dropped — fixed shapes per bucket
+            return store.at[slots].set(frames, mode="drop")
+
+        self._gather = gather
+        self._scatter = jax.jit(scatter, donate_argnums=0)
+
+    # ------------------------------------------------------------------ #
+
+    def _assign_slot(self, needed: set) -> int:
+        """Next ring slot, skipping slots the current batch references."""
+        for _ in range(self.capacity):
+            slot = self._cursor
+            self._cursor = (self._cursor + 1) % self.capacity
+            if slot not in needed:
+                old = self._key_at[slot]
+                if old is not None:
+                    del self._slot_of[old]
+                return slot
+        raise RuntimeError(
+            "DeviceFrameStore capacity "
+            f"{self.capacity} cannot hold one batch's unique frames; "
+            "raise dedup_budget_bytes"
+        )
+
+    def put_windows(self, windows: np.ndarray):
+        """(B, T, *frame_shape) host windows -> device array, deduplicated.
+
+        Ships only frames whose content hash is not already resident; the
+        returned device tensor equals ``jnp.asarray(windows)`` exactly.
+        """
+        import jax.numpy as jnp
+
+        windows = np.ascontiguousarray(windows)
+        b, t = windows.shape[:2]
+        flat = windows.reshape((-1, *windows.shape[2:]))
+        n = flat.shape[0]
+        self.frames_seen += n
+
+        idx = np.empty((n,), np.int32)
+        needed: set = set()
+        novel_pos: Dict[bytes, int] = {}  # key -> flat position (first)
+        order = []  # novel keys in first-seen order
+        keys = [_hash_frame(flat[i]) for i in range(n)]
+        for i, key in enumerate(keys):
+            slot = self._slot_of.get(key)
+            if slot is not None:
+                idx[i] = slot
+                needed.add(slot)
+            elif key in novel_pos:
+                idx[i] = -1  # fill below, same slot as first occurrence
+            else:
+                novel_pos[key] = i
+                order.append(key)
+                idx[i] = -1
+
+        if order:
+            slots = np.empty((len(order),), np.int32)
+            for j, key in enumerate(order):
+                slot = self._assign_slot(needed)
+                self._slot_of[key] = slot
+                self._key_at[slot] = key
+                slots[j] = slot
+                needed.add(slot)
+            for i, key in enumerate(keys):
+                if idx[i] < 0:
+                    idx[i] = self._slot_of[key]
+
+            frames = flat[[novel_pos[k] for k in order]]
+            self.frames_shipped += len(order)
+            # pad to the next power-of-two bucket; padding slots are OOB
+            # (== capacity) and dropped by the scatter — a bounded program
+            # count instead of one compile per novel-count
+            bucket = 1 << (len(order) - 1).bit_length()
+            if bucket > len(order):
+                pad = bucket - len(order)
+                frames = np.concatenate(
+                    [frames, np.zeros((pad, *frames.shape[1:]), frames.dtype)]
+                )
+                slots = np.concatenate(
+                    [slots, np.full((pad,), self.capacity, np.int32)]
+                )
+            self._store = self._scatter(
+                self._store, jnp.asarray(slots), jnp.asarray(frames)
+            )
+
+        out = self._gather(self._store, jnp.asarray(idx))
+        return out.reshape((b, t, *self.frame_shape))
+
+
+class FrameStoreRouter:
+    """Per-(key, shape, dtype) stores under one byte budget.
+
+    The DataLoader hands every 5-D video tensor here; streams with
+    different geometry (GoPro pair vs front camera) get separate stores.
+    The budget is split evenly across streams as they appear (late
+    arrivals rebuild is NOT attempted — geometry is known after one
+    batch, and all reference pipelines have fixed stream sets).
+    """
+
+    def __init__(self, budget_bytes: float = 512e6, n_streams_hint: int = 3):
+        self.budget_bytes = float(budget_bytes)
+        self.n_streams_hint = max(1, int(n_streams_hint))
+        self._stores: Dict[tuple, DeviceFrameStore] = {}
+
+    def put(self, name: str, windows: np.ndarray):
+        key = (name, windows.shape[2:], np.dtype(windows.dtype).str)
+        store = self._stores.get(key)
+        if store is None:
+            frame_bytes = int(
+                np.prod(windows.shape[2:]) * windows.dtype.itemsize
+            )
+            per_stream = self.budget_bytes / self.n_streams_hint
+            capacity = int(per_stream // max(frame_bytes, 1))
+            # always able to hold at least two batches' worth of frames
+            min_cap = 2 * windows.shape[0] * windows.shape[1]
+            if capacity < min_cap:
+                logger.info(
+                    "frame store %s: budget %.0f MB < 2 batches; "
+                    "raising capacity to %d frames",
+                    name, per_stream / 1e6, min_cap,
+                )
+                capacity = min_cap
+            store = DeviceFrameStore(
+                windows.shape[2:], windows.dtype, capacity
+            )
+            self._stores[key] = store
+        return store.put_windows(windows)
+
+    def stats(self) -> Dict[str, Dict[str, int]]:
+        return {
+            k[0] + str(k[1]): {
+                "seen": s.frames_seen,
+                "shipped": s.frames_shipped,
+                "capacity": s.capacity,
+            }
+            for k, s in self._stores.items()
+        }

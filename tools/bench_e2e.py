@@ -104,6 +104,10 @@ def measure() -> dict:
         loader = DataLoader(
             dataset, batch_size=BATCH, shuffle=False, num_threads=8,
             prefetch=2, to_device=True,
+            # device frame store: overlapping windows + repeat epochs stop
+            # re-shipping frames over the ~16 MB/s tunnel
+            # (io/frame_store.py); batches are bit-identical either way
+            h2d_dedup=os.getenv("H2D_DEDUP", "1") == "1",
         )
         n_batches = len(loader)
         assert n_batches >= 3, f"fixture too short: {n_batches} batches"
@@ -169,6 +173,8 @@ def measure() -> dict:
             n_clips += batch["train"]["gps"].shape[0]
         pipeline_cold_s = time.perf_counter() - t0
         pipeline_cold = n_clips / pipeline_cold_s
+        if dataset._sample_cache is not None:
+            dataset._sample_cache.flush()  # drain async writes: warm = true hits
 
         # warm pipeline (sample-cache hits)
         t0 = time.perf_counter()
@@ -196,6 +202,9 @@ def measure() -> dict:
         e2e_warm = n / wall
 
         assert np.isfinite(float(metrics["total_loss"]))
+        dedup_stats = (
+            loader._frame_router.stats() if loader._frame_router else None
+        )
         return {
             "metric": "flagship_e2e_clips_per_sec_per_chip",
             "e2e_warm_value": round(e2e_warm, 3),
@@ -209,6 +218,7 @@ def measure() -> dict:
             "n_clips_per_epoch": n,
             "fixture_build_s": round(build_s, 1),
             "frame_hw": list(FRAME_HW),
+            "h2d_dedup": dedup_stats,
         }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
