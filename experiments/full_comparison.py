@@ -266,7 +266,7 @@ def _build_models(model_set: str):
     return models
 
 
-def build_data(with_video: bool):
+def build_data(with_video: bool, single_device: bool = True):
     """Dataset batches: real GEM/DR(eye)VE pipelines when present, synthetic
     otherwise (this container ships no recordings)."""
     if DATASET_DIR and Path(DATASET_DIR).exists():
@@ -306,8 +306,15 @@ def build_data(with_video: bool):
                                   with_gaze=with_video, **common)
             ds_val = GEMDataset(root=DATASET_DIR, split="val", min_pci=MIN_PCI,
                                 with_gaze=with_video, **common)
-        train = DataLoader(ds_train, batch_size=BATCH_SIZE, shuffle=True)
-        val = DataLoader(ds_val, batch_size=BATCH_SIZE, shuffle=False)
+        # Single-device runs place batches (and dedup video H2D through the
+        # device frame store) from the producer thread; mesh runs hand host
+        # arrays to the trainer, which shards them (_place_batch).
+        h2d = dict(
+            to_device=single_device,
+            h2d_dedup=single_device and os.getenv("H2D_DEDUP", "1") == "1",
+        )
+        train = DataLoader(ds_train, batch_size=BATCH_SIZE, shuffle=True, **h2d)
+        val = DataLoader(ds_val, batch_size=BATCH_SIZE, shuffle=False, **h2d)
         return train, val
     from routeformer_tpu.io.synthetic import SyntheticDataset
 
@@ -367,7 +374,7 @@ def main():
         config=ROUTEFORMER_CONFIG.to_dict(),
     )
 
-    train_data, val_data = build_data(with_video)
+    train_data, val_data = build_data(with_video, single_device=mesh is None)
 
     # DR(eye)VE has one garmin view; split it into left/right halves
     # (reference full_comparison.py:534-551, ENABLE_LEFT_VIDEO_SPLIT).
