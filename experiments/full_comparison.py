@@ -374,7 +374,17 @@ def main():
         config=ROUTEFORMER_CONFIG.to_dict(),
     )
 
-    train_data, val_data = build_data(with_video, single_device=mesh is None)
+    # Producer-side device placement + frame-store dedup only when neither
+    # the mesh (sharded placement in the trainer) nor the embedding cache
+    # (host-side precompute consumes numpy pixels) needs host arrays.
+    host_arrays_needed = mesh is not None or (
+        os.getenv("USE_EMBEDDING_CACHE", "0") != "0"
+        and MODEL_SET == "flagship"
+        and with_video
+    )
+    train_data, val_data = build_data(
+        with_video, single_device=not host_arrays_needed
+    )
 
     # DR(eye)VE has one garmin view; split it into left/right halves
     # (reference full_comparison.py:534-551, ENABLE_LEFT_VIDEO_SPLIT).
@@ -388,21 +398,32 @@ def main():
         and Path(DATASET_DIR).exists()
     )
 
-    # USE_EMBEDDING_CACHE=1 (flagship set only — baselines consume pixels):
-    # swap pixel streams for cached frozen-backbone feature maps host-side,
-    # so steady-state steps compile WITHOUT the video backbone (the
-    # torchcache steady state, reference video_backbone/__init__.py:14-31).
+    # USE_EMBEDDING_CACHE (flagship set only — baselines consume pixels):
+    # swap pixel streams for cached frozen-backbone feature maps, so
+    # steady-state steps compile WITHOUT the video backbone (the torchcache
+    # steady state, reference video_backbone/__init__.py:14-31).
+    #   "1"/"host": host-side two-tier cache (RAM + zstd disk, persistent
+    #               across runs) — features cross the host->device link
+    #               every batch;
+    #   "device":   device-resident memo keyed by pixel content — a warm
+    #               batch moves zero video bytes over the link (per-run).
     precompute = None
-    if (
-        os.getenv("USE_EMBEDDING_CACHE", "0") == "1"
-        and MODEL_SET == "flagship"
-        and with_video
-    ):
-        from routeformer_tpu.models.video_backbone.cache import (
-            VideoFeaturePrecomputer,
-        )
+    emb_mode = os.getenv("USE_EMBEDDING_CACHE", "0")
+    if emb_mode != "0" and MODEL_SET == "flagship" and with_video:
+        if emb_mode == "device":
+            from routeformer_tpu.models.video_backbone.cache import (
+                DeviceVideoFeaturePrecomputer,
+            )
 
-        precompute = VideoFeaturePrecomputer(next(iter(models.values())))
+            precompute = DeviceVideoFeaturePrecomputer(
+                next(iter(models.values()))
+            )
+        else:
+            from routeformer_tpu.models.video_backbone.cache import (
+                VideoFeaturePrecomputer,
+            )
+
+            precompute = VideoFeaturePrecomputer(next(iter(models.values())))
 
     def prepare(batch):
         batch = maybe_split_video(batch, split_video)

@@ -204,3 +204,191 @@ class CachedBackbone:
         return self.cache.get_or_compute(
             frames, lambda missing: self._fwd(self._state, missing)
         )
+
+
+class DeviceCachedBackbone:
+    """Frozen-backbone features memoized ON DEVICE, keyed by pixel content.
+
+    The host-side ``EmbeddingCache`` must ship every batch's feature maps
+    over the host->device link — at the flagship geometry that is 131 KB
+    per frame, ~8x the uint8 pixels, and on a bandwidth-limited link the
+    steady state drowns in its own cache traffic. This memo keeps features
+    in a device-resident ring buffer: per frame, the pixel content hash
+    either resolves to a resident feature map (gather, zero wire bytes) or
+    the call's frames are shipped once, encoded on device, and scattered
+    into the ring. A steady-state epoch moves NO pixel or feature bytes.
+
+    Same cache invariant as ``EmbeddingCache``: frozen backbone only.
+    Per-run memo — the host cache's disk tier remains the cross-run
+    persistence layer (``USE_EMBEDDING_CACHE=host``).
+    """
+
+    def __init__(self, backbone, config, capacity_bytes: float = 512e6):
+        import jax
+        import jax.numpy as jnp
+        from flax import nnx
+
+        self.dtype = np.dtype(config.cache_dtype)
+        self.feature_shape = tuple(backbone.output_feature_shape)
+        feat_bytes = int(np.prod(self.feature_shape)) * self.dtype.itemsize
+        self.capacity = max(int(capacity_bytes // feat_bytes), 256)
+        self._fstore = jnp.zeros(
+            (self.capacity, *self.feature_shape), dtype=self.dtype
+        )
+        self._slot_of: dict = {}
+        self._key_at = [None] * self.capacity
+        self._cursor = 0
+        self.frames_seen = 0
+        self.frames_encoded = 0
+
+        graphdef, state = nnx.split(backbone)
+        # deep-copy the frozen state: train steps donate live model buffers
+        self._state = jax.tree.map(jnp.array, state)
+        dtype = self.dtype
+
+        def encode_scatter(fstore, state, frames, slots):
+            model = nnx.merge(graphdef, state)
+            feats = model(frames).astype(dtype)
+            # padding slots are == capacity (OOB) and dropped
+            return fstore.at[slots].set(feats, mode="drop")
+
+        self._encode_scatter = jax.jit(encode_scatter, donate_argnums=0)
+
+        @jax.jit
+        def gather(fstore, idx):
+            return jnp.take(fstore, idx, axis=0)
+
+        self._gather = gather
+
+    def _assign_slot(self, needed: set) -> int:
+        for _ in range(self.capacity):
+            slot = self._cursor
+            self._cursor = (self._cursor + 1) % self.capacity
+            if slot not in needed:
+                old = self._key_at[slot]
+                if old is not None:
+                    del self._slot_of[old]
+                return slot
+        raise RuntimeError(
+            f"DeviceCachedBackbone capacity {self.capacity} cannot hold one "
+            "call's unique frames; raise capacity_bytes"
+        )
+
+    def __call__(self, frames):
+        """(N, H, W, C) host pixels -> (N, *feature_shape) device features.
+
+        Only calls with at least one unseen frame touch the wire or the
+        backbone, and then with the full call's frames (ONE compiled
+        encode program per frame geometry — tunnel compiles are minutes,
+        so no per-novel-count buckets here; at u8 the re-shipped pixels
+        are ~2 MB/call and the padded encode is the already-paid epoch-1
+        cost)."""
+        import hashlib
+
+        import jax.numpy as jnp
+
+        frames = np.ascontiguousarray(np.asarray(frames))
+        n = frames.shape[0]
+        self.frames_seen += n
+
+        keys = []
+        for i in range(n):
+            h = hashlib.blake2b(digest_size=16)
+            h.update(frames[i])
+            keys.append(h.digest())
+
+        idx = np.empty((n,), np.int32)
+        needed: set = set()
+        novel_first: dict = {}
+        for i, key in enumerate(keys):
+            slot = self._slot_of.get(key)
+            if slot is not None:
+                idx[i] = slot
+                needed.add(slot)
+            elif key not in novel_first:
+                novel_first[key] = i
+
+        if novel_first:
+            slots = np.full((n,), self.capacity, np.int32)  # default: drop
+            for key, i in novel_first.items():
+                slot = self._assign_slot(needed)
+                self._slot_of[key] = slot
+                self._key_at[slot] = key
+                slots[i] = slot
+                needed.add(slot)
+            for i, key in enumerate(keys):
+                if self._slot_of.get(key) is not None:
+                    idx[i] = self._slot_of[key]
+            self.frames_encoded += len(novel_first)
+            self._fstore = self._encode_scatter(
+                self._fstore, self._state, jnp.asarray(frames),
+                jnp.asarray(slots),
+            )
+
+        return self._gather(self._fstore, jnp.asarray(idx))
+
+
+class DeviceVideoFeaturePrecomputer:
+    """``VideoFeaturePrecomputer`` twin whose features live on device.
+
+    Same batch contract (``*_video`` -> ``*_video_features`` with the
+    full-timeline zero-scatter the model's fps subsampling expects), but
+    the returned feature tensors are device arrays assembled by gather —
+    a warm batch costs zero host->device video traffic. One memo is
+    shared by all streams (the backbone is one frozen module; content
+    hashes are stream-agnostic)."""
+
+    def __init__(self, model, capacity_bytes: float = 512e6):
+        self.configs = model.configs
+        self.backbone = DeviceCachedBackbone(
+            model.video_backbone, model.video_backbone.configs,
+            capacity_bytes=capacity_bytes,
+        )
+        self._scatter_full = None
+
+    def __call__(self, batch: dict) -> dict:
+        import jax
+
+        from routeformer_tpu.models.routeformer import _fps_subsample_indices
+
+        if self._scatter_full is None:
+            import jax.numpy as jnp
+
+            def scatter_full(feats, idx, t):
+                b = feats.shape[0]
+                full = jnp.zeros(
+                    (b, t) + feats.shape[2:], dtype=feats.dtype
+                )
+                return full.at[:, idx].set(feats)
+
+            self._scatter_full = jax.jit(
+                scatter_full, static_argnums=(2,)
+            )
+
+        out = dict(batch)
+        specs = (
+            ("left_video", self.configs.video_fps),
+            ("right_video", self.configs.video_fps),
+            ("front_video", self.configs.gaze_fps),
+        )
+        for key, fps in specs:
+            if key not in batch:
+                continue
+            pixels = np.asarray(batch[key])
+            b, t = pixels.shape[:2]
+            idx = _fps_subsample_indices(t, self.configs.output_fps // fps)
+            frames = pixels[:, idx].reshape((-1,) + pixels.shape[2:])
+            feats = self.backbone(frames)
+            feats = feats.reshape((b, len(idx)) + feats.shape[1:])
+            out[key + "_features"] = self._scatter_full(
+                feats, np.asarray(idx), t
+            )
+            del out[key]
+        return out
+
+    def stats(self) -> dict:
+        return {
+            "seen": self.backbone.frames_seen,
+            "encoded": self.backbone.frames_encoded,
+            "capacity": self.backbone.capacity,
+        }

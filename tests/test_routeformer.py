@@ -253,6 +253,72 @@ class TestPrecomputedFeatures:
             second["left_video_features"], first["left_video_features"]
         )
 
+    def test_device_precomputer_matches_host(self, rng, tmp_path):
+        from routeformer_tpu.models.video_backbone.cache import (
+            DeviceVideoFeaturePrecomputer,
+            VideoFeaturePrecomputer,
+        )
+
+        model = self._model(tmp_path)
+        model.eval()
+        batch = make_batch(rng, with_video=True, with_gaze=True)
+        host = VideoFeaturePrecomputer(model)
+        dev = DeviceVideoFeaturePrecomputer(model, capacity_bytes=50e6)
+
+        host_out = host(batch)
+        dev_out = dev(batch)
+        assert set(host_out) == set(dev_out)
+        for k in host_out:
+            if k.endswith("_features"):
+                np.testing.assert_allclose(
+                    np.asarray(dev_out[k]), np.asarray(host_out[k]),
+                    atol=1e-5, err_msg=k,
+                )
+        stats = dev.stats()
+        assert stats["encoded"] > 0
+
+        # a warm pass encodes nothing and returns identical features
+        before = dev.stats()["encoded"]
+        dev_out2 = dev(batch)
+        assert dev.stats()["encoded"] == before
+        for k in dev_out:
+            if k.endswith("_features"):
+                np.testing.assert_array_equal(
+                    np.asarray(dev_out2[k]), np.asarray(dev_out[k]),
+                )
+        # the model consumes the device features identically
+        np.testing.assert_allclose(
+            np.asarray(model(dev_out)), np.asarray(model(host_out)), atol=1e-5
+        )
+
+    def test_device_memo_eviction_stays_exact(self, rng, tmp_path):
+        from routeformer_tpu.models.video_backbone.cache import (
+            DeviceCachedBackbone,
+        )
+
+        model = self._model(tmp_path)
+        model.eval()
+        backbone = model.video_backbone
+        feat_bytes = int(
+            np.prod(backbone.output_feature_shape)
+        ) * np.dtype(backbone.configs.cache_dtype).itemsize
+        frames = rng.random((12, 8, 10, 3)).astype(np.float16)
+
+        big = DeviceCachedBackbone(
+            backbone, backbone.configs, capacity_bytes=1000 * feat_bytes
+        )
+        # capacity floor is 256 slots; stream > capacity unique frames
+        small = DeviceCachedBackbone(
+            backbone, backbone.configs, capacity_bytes=1 * feat_bytes
+        )
+        assert small.capacity == 256
+        reference = np.asarray(big(frames))
+        for start in (0, 4, 8):
+            out = np.asarray(small(frames[start : start + 4]))
+            np.testing.assert_allclose(
+                out, reference[start : start + 4], atol=1e-6
+            )
+
 
 class TestFusionBf16:
     def test_perceive_encoder_bf16_close_to_f32(self, rng):
