@@ -207,6 +207,10 @@ def main():
         # pipeline (cache filling, decode-bound)
         result["e2e_value"] = e2e.get("e2e_warm_value", 0.0)
         result["e2e_cold_value"] = e2e.get("pipeline_cold_clips_per_sec", 0.0)
+        if e2e.get("e2e_steady_value"):
+            # epoch-2+ production path: device feature memo, zero video
+            # bytes on the wire, backbone-free step
+            result["e2e_steady_value"] = e2e["e2e_steady_value"]
         result["e2e_detail"] = {
             k: v for k, v in e2e.items() if k != "metric"
         }
