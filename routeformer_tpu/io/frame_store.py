@@ -35,12 +35,81 @@ from routeformer_tpu.utils.logging import get_logger
 logger = get_logger("io.frame_store")
 
 
-def _hash_frame(frame: np.ndarray) -> bytes:
+def hash_frames(flat: np.ndarray) -> list:
+    """blake2b-16 content key per leading-axis element (C-contiguous)."""
     import hashlib
 
-    h = hashlib.blake2b(digest_size=16)
-    h.update(frame)  # C-contiguous buffer, no copy
-    return h.digest()
+    keys = []
+    for i in range(flat.shape[0]):
+        h = hashlib.blake2b(digest_size=16)
+        h.update(flat[i])  # buffer protocol, no copy
+        keys.append(h.digest())
+    return keys
+
+
+class ContentRing:
+    """Host-side index for a device-resident ring buffer.
+
+    Maps content keys to slots in a fixed-capacity ring; eviction is
+    write-order, never evicting a slot the current call references.
+    Shared by the pixel frame store (below) and the device feature memo
+    (``models/video_backbone/cache.py``)."""
+
+    def __init__(self, capacity: int, owner: str = "ContentRing"):
+        if capacity < 1:
+            raise ValueError(f"capacity must be >= 1, got {capacity}")
+        self.capacity = int(capacity)
+        self.owner = owner
+        self._slot_of: Dict[bytes, int] = {}
+        self._key_at = [None] * self.capacity
+        self._cursor = 0
+
+    def resolve(self, keys):
+        """-> (idx int32 with -1 at unresolved, novel {key: first_pos},
+        needed resident slots). ``idx`` entries for novel keys stay -1
+        until ``admit`` + ``fill``."""
+        n = len(keys)
+        idx = np.full((n,), -1, np.int32)
+        needed: set = set()
+        novel: Dict[bytes, int] = {}
+        for i, key in enumerate(keys):
+            slot = self._slot_of.get(key)
+            if slot is not None:
+                idx[i] = slot
+                needed.add(slot)
+            elif key not in novel:
+                novel[key] = i
+        return idx, novel, needed
+
+    def admit(self, novel_keys, needed: set) -> np.ndarray:
+        """Assign (evicting) slots for the novel keys, in order."""
+        slots = np.empty((len(novel_keys),), np.int32)
+        for j, key in enumerate(novel_keys):
+            for _ in range(self.capacity):
+                slot = self._cursor
+                self._cursor = (self._cursor + 1) % self.capacity
+                if slot not in needed:
+                    break
+            else:
+                raise RuntimeError(
+                    f"{self.owner} capacity {self.capacity} cannot hold "
+                    "one call's unique frames; raise the byte budget"
+                )
+            old = self._key_at[slot]
+            if old is not None:
+                del self._slot_of[old]
+            self._slot_of[key] = slot
+            self._key_at[slot] = key
+            slots[j] = slot
+            needed.add(slot)
+        return slots
+
+    def fill(self, keys, idx: np.ndarray):
+        """Resolve the remaining -1 entries after ``admit``."""
+        for i, key in enumerate(keys):
+            if idx[i] < 0:
+                idx[i] = self._slot_of[key]
+        return idx
 
 
 class DeviceFrameStore:
@@ -55,17 +124,12 @@ class DeviceFrameStore:
         import jax
         import jax.numpy as jnp
 
-        if capacity < 1:
-            raise ValueError(f"capacity must be >= 1, got {capacity}")
         self.frame_shape = tuple(frame_shape)
         self.dtype = np.dtype(dtype)
-        self.capacity = int(capacity)
+        self._ring = ContentRing(capacity, owner="DeviceFrameStore")
         self._store = jnp.zeros(
-            (self.capacity, *self.frame_shape), dtype=self.dtype
+            (self._ring.capacity, *self.frame_shape), dtype=self.dtype
         )
-        self._slot_of: Dict[bytes, int] = {}
-        self._key_at = [None] * self.capacity
-        self._cursor = 0
         # observability
         self.frames_seen = 0
         self.frames_shipped = 0
@@ -81,23 +145,9 @@ class DeviceFrameStore:
         self._gather = gather
         self._scatter = jax.jit(scatter, donate_argnums=0)
 
-    # ------------------------------------------------------------------ #
-
-    def _assign_slot(self, needed: set) -> int:
-        """Next ring slot, skipping slots the current batch references."""
-        for _ in range(self.capacity):
-            slot = self._cursor
-            self._cursor = (self._cursor + 1) % self.capacity
-            if slot not in needed:
-                old = self._key_at[slot]
-                if old is not None:
-                    del self._slot_of[old]
-                return slot
-        raise RuntimeError(
-            "DeviceFrameStore capacity "
-            f"{self.capacity} cannot hold one batch's unique frames; "
-            "raise dedup_budget_bytes"
-        )
+    @property
+    def capacity(self) -> int:
+        return self._ring.capacity
 
     def put_windows(self, windows: np.ndarray):
         """(B, T, *frame_shape) host windows -> device array, deduplicated.
@@ -110,46 +160,22 @@ class DeviceFrameStore:
         windows = np.ascontiguousarray(windows)
         b, t = windows.shape[:2]
         flat = windows.reshape((-1, *windows.shape[2:]))
-        n = flat.shape[0]
-        self.frames_seen += n
+        self.frames_seen += flat.shape[0]
 
-        idx = np.empty((n,), np.int32)
-        needed: set = set()
-        novel_pos: Dict[bytes, int] = {}  # key -> flat position (first)
-        order = []  # novel keys in first-seen order
-        keys = [_hash_frame(flat[i]) for i in range(n)]
-        for i, key in enumerate(keys):
-            slot = self._slot_of.get(key)
-            if slot is not None:
-                idx[i] = slot
-                needed.add(slot)
-            elif key in novel_pos:
-                idx[i] = -1  # fill below, same slot as first occurrence
-            else:
-                novel_pos[key] = i
-                order.append(key)
-                idx[i] = -1
+        keys = hash_frames(flat)
+        idx, novel, needed = self._ring.resolve(keys)
 
-        if order:
-            slots = np.empty((len(order),), np.int32)
-            for j, key in enumerate(order):
-                slot = self._assign_slot(needed)
-                self._slot_of[key] = slot
-                self._key_at[slot] = key
-                slots[j] = slot
-                needed.add(slot)
-            for i, key in enumerate(keys):
-                if idx[i] < 0:
-                    idx[i] = self._slot_of[key]
-
-            frames = flat[[novel_pos[k] for k in order]]
-            self.frames_shipped += len(order)
+        if novel:
+            slots = self._ring.admit(list(novel), needed)
+            idx = self._ring.fill(keys, idx)
+            frames = flat[list(novel.values())]
+            self.frames_shipped += len(novel)
             # pad to the next power-of-two bucket; padding slots are OOB
             # (== capacity) and dropped by the scatter — a bounded program
             # count instead of one compile per novel-count
-            bucket = 1 << (len(order) - 1).bit_length()
-            if bucket > len(order):
-                pad = bucket - len(order)
+            bucket = 1 << (len(novel) - 1).bit_length()
+            if bucket > len(novel):
+                pad = bucket - len(novel)
                 frames = np.concatenate(
                     [frames, np.zeros((pad, *frames.shape[1:]), frames.dtype)]
                 )

@@ -228,16 +228,16 @@ class DeviceCachedBackbone:
         import jax.numpy as jnp
         from flax import nnx
 
+        from routeformer_tpu.io.frame_store import ContentRing
+
         self.dtype = np.dtype(config.cache_dtype)
         self.feature_shape = tuple(backbone.output_feature_shape)
         feat_bytes = int(np.prod(self.feature_shape)) * self.dtype.itemsize
-        self.capacity = max(int(capacity_bytes // feat_bytes), 256)
+        capacity = max(int(capacity_bytes // feat_bytes), 256)
+        self._ring = ContentRing(capacity, owner="DeviceCachedBackbone")
         self._fstore = jnp.zeros(
-            (self.capacity, *self.feature_shape), dtype=self.dtype
+            (capacity, *self.feature_shape), dtype=self.dtype
         )
-        self._slot_of: dict = {}
-        self._key_at = [None] * self.capacity
-        self._cursor = 0
         self.frames_seen = 0
         self.frames_encoded = 0
 
@@ -260,19 +260,9 @@ class DeviceCachedBackbone:
 
         self._gather = gather
 
-    def _assign_slot(self, needed: set) -> int:
-        for _ in range(self.capacity):
-            slot = self._cursor
-            self._cursor = (self._cursor + 1) % self.capacity
-            if slot not in needed:
-                old = self._key_at[slot]
-                if old is not None:
-                    del self._slot_of[old]
-                return slot
-        raise RuntimeError(
-            f"DeviceCachedBackbone capacity {self.capacity} cannot hold one "
-            "call's unique frames; raise capacity_bytes"
-        )
+    @property
+    def capacity(self) -> int:
+        return self._ring.capacity
 
     def __call__(self, frames):
         """(N, H, W, C) host pixels -> (N, *feature_shape) device features.
@@ -283,43 +273,25 @@ class DeviceCachedBackbone:
         so no per-novel-count buckets here; at u8 the re-shipped pixels
         are ~2 MB/call and the padded encode is the already-paid epoch-1
         cost)."""
-        import hashlib
-
         import jax.numpy as jnp
+
+        from routeformer_tpu.io.frame_store import hash_frames
 
         frames = np.ascontiguousarray(np.asarray(frames))
         n = frames.shape[0]
         self.frames_seen += n
 
-        keys = []
-        for i in range(n):
-            h = hashlib.blake2b(digest_size=16)
-            h.update(frames[i])
-            keys.append(h.digest())
+        keys = hash_frames(frames)
+        idx, novel, needed = self._ring.resolve(keys)
 
-        idx = np.empty((n,), np.int32)
-        needed: set = set()
-        novel_first: dict = {}
-        for i, key in enumerate(keys):
-            slot = self._slot_of.get(key)
-            if slot is not None:
-                idx[i] = slot
-                needed.add(slot)
-            elif key not in novel_first:
-                novel_first[key] = i
-
-        if novel_first:
-            slots = np.full((n,), self.capacity, np.int32)  # default: drop
-            for key, i in novel_first.items():
-                slot = self._assign_slot(needed)
-                self._slot_of[key] = slot
-                self._key_at[slot] = key
-                slots[i] = slot
-                needed.add(slot)
-            for i, key in enumerate(keys):
-                if self._slot_of.get(key) is not None:
-                    idx[i] = self._slot_of[key]
-            self.frames_encoded += len(novel_first)
+        if novel:
+            assigned = self._ring.admit(list(novel), needed)
+            idx = self._ring.fill(keys, idx)
+            # the encode runs on the FULL call's frames (fixed shape);
+            # non-novel positions scatter out of bounds and are dropped
+            slots = np.full((n,), self.capacity, np.int32)
+            slots[list(novel.values())] = assigned
+            self.frames_encoded += len(novel)
             self._fstore = self._encode_scatter(
                 self._fstore, self._state, jnp.asarray(frames),
                 jnp.asarray(slots),
