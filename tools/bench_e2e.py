@@ -206,45 +206,13 @@ def measure() -> dict:
         # bytes AND skip the backbone; the production epoch-2+ path
         e2e_steady = None
         steady_detail = None
-        if os.getenv("E2E_STEADY", "1") == "1":
-            from routeformer_tpu.models.video_backbone.cache import (
-                DeviceVideoFeaturePrecomputer,
+        try:
+            e2e_steady, steady_detail = _steady_phase(
+                dataset, model, step_fn, params, state, opt_state, epoch_idx
             )
-
-            pre = DeviceVideoFeaturePrecomputer(model)
-            host_loader = DataLoader(
-                dataset, batch_size=BATCH, shuffle=False, num_threads=8,
-                prefetch=2,
-            )
-
-            def steady_epoch(epoch):
-                nonlocal params, state, opt_state
-                host_loader.set_epoch(epoch)
-                t0 = time.perf_counter()
-                n = 0
-                m = None
-                for batch in host_loader:
-                    inp = pre(batch["train"])
-                    tgt = pre(batch["target"])
-                    inp = {k: jnp.asarray(v) for k, v in inp.items()}
-                    tgt = {k: jnp.asarray(v) for k, v in tgt.items()}
-                    params, state, opt_state, m = step_fn(
-                        params, state, opt_state, inp, tgt, epoch_idx
-                    )
-                    n += int(inp["gps"].shape[0])
-                jax.block_until_ready(m)
-                return time.perf_counter() - t0, n, m
-
-            # epoch 3: encode every frame once + compile the
-            # backbone-free step program (one-time costs, both cached)
-            warm_wall, n, _ = steady_epoch(3)
-            wall, n, m = steady_epoch(4)
-            e2e_steady = n / wall
-            assert np.isfinite(float(m["total_loss"]))
-            steady_detail = {
-                "memo": pre.stats(),
-                "encode_epoch_s": round(warm_wall, 2),
-            }
+        except Exception as e:  # noqa: BLE001 — optional phase must not
+            # sink the warm/cold numbers in the official artifact
+            print(f"steady phase failed: {e}", file=sys.stderr)
 
         assert np.isfinite(float(metrics["total_loss"]))
         dedup_stats = (
@@ -271,6 +239,56 @@ def measure() -> dict:
         }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _steady_phase(dataset, model, step_fn, params, state, opt_state, epoch_idx):
+    """Steady-state e2e: device feature memo (USE_EMBEDDING_CACHE=device).
+
+    Warm batches move zero video bytes AND skip the backbone — the
+    production epoch-2+ path. Returns (clips_per_sec, detail) or
+    (None, None) when disabled."""
+    import jax.numpy as jnp
+
+    from routeformer_tpu.io.loader import DataLoader
+    from routeformer_tpu.models.video_backbone.cache import (
+        DeviceVideoFeaturePrecomputer,
+    )
+
+    if os.getenv("E2E_STEADY", "1") != "1":
+        return None, None
+
+    pre = DeviceVideoFeaturePrecomputer(model)
+    host_loader = DataLoader(
+        dataset, batch_size=BATCH, shuffle=False, num_threads=8, prefetch=2,
+    )
+
+    def steady_epoch(epoch):
+        nonlocal params, state, opt_state
+        host_loader.set_epoch(epoch)
+        t0 = time.perf_counter()
+        n = 0
+        m = None
+        for batch in host_loader:
+            inp = pre(batch["train"])
+            tgt = pre(batch["target"])
+            inp = {k: jnp.asarray(v) for k, v in inp.items()}
+            tgt = {k: jnp.asarray(v) for k, v in tgt.items()}
+            params, state, opt_state, m = step_fn(
+                params, state, opt_state, inp, tgt, epoch_idx
+            )
+            n += int(inp["gps"].shape[0])
+        jax.block_until_ready(m)
+        return time.perf_counter() - t0, n, m
+
+    # epoch 3: encode every frame once + compile the backbone-free step
+    # program (one-time costs, both cached)
+    warm_wall, n, _ = steady_epoch(3)
+    wall, n, m = steady_epoch(4)
+    assert np.isfinite(float(m["total_loss"]))
+    return n / wall, {
+        "memo": pre.stats(),
+        "encode_epoch_s": round(warm_wall, 2),
+    }
 
 
 def main():
