@@ -163,3 +163,39 @@ class TestLoaderDedup:
     def test_dedup_requires_to_device(self):
         loader, _ = self._loaders(h2d_dedup=True)  # to_device defaults False
         assert loader._frame_router is None
+
+
+class TestTrainerIntegration:
+    def test_training_step_on_store_gathered_batch(self):
+        """A trainer step on frame-store-assembled device batches matches
+        the same step on plain host batches (the dedup DataLoader path)."""
+        import jax.numpy as jnp
+
+        from tests.test_trainer import TestUint8WireFormat
+
+        u8_batch, _ = TestUint8WireFormat._batch_pair()
+        router = FrameStoreRouter(budget_bytes=100e6)
+
+        def place(d):
+            return {
+                k: (
+                    router.put(k, v)
+                    if "video" in k and getattr(v, "ndim", 0) == 5
+                    else jnp.asarray(v)
+                )
+                for k, v in d.items()
+            }
+
+        stored_batch = {
+            "train": place(u8_batch["train"]),
+            "target": place(u8_batch["target"]),
+        }
+
+        t_plain = TestUint8WireFormat._make_trainer()
+        t_store = TestUint8WireFormat._make_trainer()
+        m_plain = t_plain.training_step(u8_batch)
+        m_store = t_store.training_step(stored_batch)
+        np.testing.assert_allclose(
+            float(m_store["train_total_loss"]),
+            float(m_plain["train_total_loss"]), rtol=1e-6,
+        )
