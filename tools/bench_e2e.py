@@ -207,9 +207,25 @@ def measure() -> dict:
         e2e_steady = None
         steady_detail = None
         try:
-            e2e_steady, steady_detail = _steady_phase(
-                dataset, model, step_fn, params, state, opt_state, epoch_idx
-            )
+            # bound the phase: on a degraded tunnel its one-time compiles
+            # can exceed the parent bench's subprocess budget — the alarm
+            # surfaces here and the warm/cold numbers still ship
+            import signal
+
+            def _timed_out(signum, frame):
+                raise TimeoutError("steady phase exceeded E2E_STEADY_TIMEOUT")
+
+            budget = int(os.getenv("E2E_STEADY_TIMEOUT", "3600"))
+            old_handler = signal.signal(signal.SIGALRM, _timed_out)
+            signal.alarm(budget)
+            try:
+                e2e_steady, steady_detail = _steady_phase(
+                    dataset, model, step_fn, params, state, opt_state,
+                    epoch_idx,
+                )
+            finally:
+                signal.alarm(0)
+                signal.signal(signal.SIGALRM, old_handler)
         except Exception as e:  # noqa: BLE001 — optional phase must not
             # sink the warm/cold numbers in the official artifact
             print(f"steady phase failed: {e}", file=sys.stderr)
