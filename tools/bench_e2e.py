@@ -136,6 +136,17 @@ def measure() -> dict:
         def loss_fn(m, inp, tgt, epoch):
             return routeformer_training_loss(m, inp, tgt, epoch, losses)
 
+        # The steady phase's feature memo deep-copies the frozen backbone
+        # state; build it BEFORE any step runs — the train step donates the
+        # live model's buffers, after which nnx.split(model) reads deleted
+        # arrays.
+        steady_pre = None
+        if os.getenv("E2E_STEADY", "1") == "1":
+            from routeformer_tpu.models.video_backbone.cache import (
+                DeviceVideoFeaturePrecomputer,
+            )
+
+            steady_pre = DeviceVideoFeaturePrecomputer(model)
         step_fn, params, state, opt_state = make_train_step(model, tx, loss_fn)
         epoch_idx = jnp.asarray(0)
 
@@ -220,7 +231,7 @@ def measure() -> dict:
             signal.alarm(budget)
             try:
                 e2e_steady, steady_detail = _steady_phase(
-                    dataset, model, step_fn, params, state, opt_state,
+                    dataset, steady_pre, step_fn, params, state, opt_state,
                     epoch_idx,
                 )
             finally:
@@ -257,23 +268,20 @@ def measure() -> dict:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
-def _steady_phase(dataset, model, step_fn, params, state, opt_state, epoch_idx):
+def _steady_phase(dataset, pre, step_fn, params, state, opt_state, epoch_idx):
     """Steady-state e2e: device feature memo (USE_EMBEDDING_CACHE=device).
 
     Warm batches move zero video bytes AND skip the backbone — the
-    production epoch-2+ path. Returns (clips_per_sec, detail) or
-    (None, None) when disabled."""
+    production epoch-2+ path. ``pre`` is the DeviceVideoFeaturePrecomputer
+    built before the first (donating) step. Returns (clips_per_sec,
+    detail) or (None, None) when disabled."""
     import jax.numpy as jnp
 
     from routeformer_tpu.io.loader import DataLoader
-    from routeformer_tpu.models.video_backbone.cache import (
-        DeviceVideoFeaturePrecomputer,
-    )
 
-    if os.getenv("E2E_STEADY", "1") != "1":
+    if pre is None:
         return None, None
 
-    pre = DeviceVideoFeaturePrecomputer(model)
     host_loader = DataLoader(
         dataset, batch_size=BATCH, shuffle=False, num_threads=8, prefetch=2,
     )
