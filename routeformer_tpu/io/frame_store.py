@@ -26,7 +26,7 @@ Not thread-safe by itself: one store belongs to one producer thread (the
 the current batch references.
 """
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
