@@ -116,6 +116,27 @@ class DataLoader:
         being assembled."""
         self._epoch = epoch
         self._start_batch = start_batch
+        if self._frame_router is not None and epoch > 0:
+            for name, s in self._frame_router.stats().items():
+                ratio = s["shipped"] / max(s["seen"], 1)
+                msg = (
+                    "frame store %s: %d/%d frames shipped (%.1f%%), "
+                    "capacity %d"
+                )
+                if ratio > 0.5:
+                    # steady-state epochs should mostly hit; persistent
+                    # re-shipping means the ring is smaller than the
+                    # dataset's unique frames on this host
+                    logger.warning(
+                        msg + " — raise dedup_budget_bytes",
+                        name, s["shipped"], s["seen"], 100 * ratio,
+                        s["capacity"],
+                    )
+                else:
+                    logger.info(
+                        msg, name, s["shipped"], s["seen"], 100 * ratio,
+                        s["capacity"],
+                    )
 
     def _indices(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
