@@ -103,6 +103,24 @@ class TestDreyeveDataset:
         # garmin crop: 15%..65% of scaled height 18 -> 9 rows
         assert train["left_video"].shape[1] == int(0.65 * 18) - int(0.15 * 18)
 
+    def test_uint8_wire_format_matches_float16(self, dreyeve_root):
+        ds_f16 = make_dataset(dreyeve_root)
+        ds_u8 = make_dataset(dreyeve_root, video_dtype="uint8")
+        a, b = ds_f16[0], ds_u8[0]
+        for phase in ("train", "target"):
+            for key in a[phase]:
+                if "video" in key:
+                    assert b[phase][key].dtype == np.uint8, key
+                    np.testing.assert_array_equal(
+                        a[phase][key],
+                        b[phase][key].astype(np.float16) / 255.0,
+                        err_msg=key,
+                    )
+                else:
+                    np.testing.assert_array_equal(
+                        a[phase][key], b[phase][key], err_msg=key
+                    )
+
     def test_pci_cache(self, dreyeve_root, tmp_path):
         ds1 = make_dataset(
             dreyeve_root, with_video=False, use_cache=True, cache_dir=tmp_path
