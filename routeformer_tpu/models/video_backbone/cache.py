@@ -238,6 +238,11 @@ class DeviceCachedBackbone:
         self._fstore = jnp.zeros(
             (capacity, *self.feature_shape), dtype=self.dtype
         )
+        # one encode-program signature per frame geometry: calls pad to the
+        # largest size seen (train/target phase sizes differ), so the
+        # expensive backbone compile happens once per (H, W), not once per
+        # call length
+        self._chunks: dict = {}
         self.frames_seen = 0
         self.frames_encoded = 0
 
@@ -292,10 +297,26 @@ class DeviceCachedBackbone:
             slots = np.full((n,), self.capacity, np.int32)
             slots[list(novel.values())] = assigned
             self.frames_encoded += len(novel)
-            self._fstore = self._encode_scatter(
-                self._fstore, self._state, jnp.asarray(frames),
-                jnp.asarray(slots),
-            )
+
+            geom = frames.shape[1:]
+            chunk = self._chunks.get(geom)
+            if chunk is None or n > chunk:
+                chunk = n
+                self._chunks[geom] = chunk
+            pad = -n % chunk
+            if pad:
+                frames = np.concatenate(
+                    [frames, np.zeros((pad, *geom), frames.dtype)]
+                )
+                slots = np.concatenate(
+                    [slots, np.full((pad,), self.capacity, np.int32)]
+                )
+            for lo in range(0, frames.shape[0], chunk):
+                self._fstore = self._encode_scatter(
+                    self._fstore, self._state,
+                    jnp.asarray(frames[lo : lo + chunk]),
+                    jnp.asarray(slots[lo : lo + chunk]),
+                )
 
         return self._gather(self._fstore, jnp.asarray(idx))
 

@@ -319,6 +319,34 @@ class TestPrecomputedFeatures:
                 out, reference[start : start + 4], atol=1e-6
             )
 
+    def test_device_memo_mixed_call_sizes(self, rng, tmp_path):
+        # calls pad to one encode signature per geometry (chunk adoption):
+        # smaller calls pad, a larger call adopts a new chunk — features
+        # stay exact throughout
+        from routeformer_tpu.models.video_backbone.cache import (
+            DeviceCachedBackbone,
+        )
+
+        model = self._model(tmp_path)
+        model.eval()
+        backbone = model.video_backbone
+        frames = rng.random((16, 8, 10, 3)).astype(np.float16)
+        memo = DeviceCachedBackbone(backbone, backbone.configs)
+        reference = np.asarray(memo(frames))  # chunk = 16
+        fresh = DeviceCachedBackbone(backbone, backbone.configs)
+        np.testing.assert_allclose(
+            np.asarray(fresh(frames[:5])), reference[:5], atol=1e-6
+        )
+        assert fresh._chunks[(8, 10, 3)] == 5
+        np.testing.assert_allclose(  # pads 3 -> 5, same signature
+            np.asarray(fresh(frames[5:8])), reference[5:8], atol=1e-6
+        )
+        assert fresh._chunks[(8, 10, 3)] == 5
+        np.testing.assert_allclose(  # 8 > 5: adopts chunk 8
+            np.asarray(fresh(frames[8:16])), reference[8:16], atol=1e-6
+        )
+        assert fresh._chunks[(8, 10, 3)] == 8
+
 
 class TestFusionBf16:
     def test_perceive_encoder_bf16_close_to_f32(self, rng):
