@@ -13,6 +13,13 @@ reference's env-var "CLI" (reference :50-150):
   ROUTEFORMER_DATASET_DIR / DREYEVE_DATASET_DIR (falls back to synthetic
   data when unset/absent — this container ships no GEM/DR(eye)VE footage)
 
+Transfer-layer extensions (this build; see docs/PERF.md):
+  VIDEO_DTYPE=uint8|float16  — dataset wire format (default uint8)
+  H2D_DEDUP=1|0              — device frame store on single-device loaders
+  USE_EMBEDDING_CACHE=0|1|host|device — torchcache steady state; "device"
+                               memoizes features on-device (zero video
+                               bytes on the wire for warm batches)
+
 TPU-native differences: Lightning/DDP is replaced by the jitted lockstep
 trainer over a jax mesh; checkpointing is orbax with explicit resume; W&B
 is optional (JSONL metric stream otherwise).
