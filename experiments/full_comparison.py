@@ -296,6 +296,12 @@ def build_data(with_video: bool, single_device: bool = True):
             # jitted step dequantizes on-device, bit-identical values
             # (ops/image.dequantize_videos)
             video_dtype=os.getenv("VIDEO_DTYPE", "uint8"),
+            # in-RAM tier over the zstd sample cache (steady epochs skip
+            # decompression); bound with MAX_MEMORY_CACHE_SIZE bytes
+            use_memory_cache=os.getenv("USE_MEMORY_CACHE", "0") == "1",
+            max_memory_cache_size=int(
+                float(os.getenv("MAX_MEMORY_CACHE_SIZE", "100e9"))
+            ),
         )
         if DATASET == "DREYEVE":
             from routeformer_tpu.io.dataset_dreyeve import DreyeveDataset

@@ -50,6 +50,15 @@ from routeformer_tpu.utils.logging import get_logger
 logger = get_logger("io.dataset")
 
 
+def _sample_nbytes(obj) -> int:
+    """Approximate RAM footprint of a sample (dict of arrays)."""
+    if isinstance(obj, np.ndarray):
+        return obj.nbytes
+    if isinstance(obj, dict):
+        return sum(_sample_nbytes(v) for v in obj.values())
+    return 64
+
+
 class GEMDataset:
     """GEM multimodal driving dataset."""
 
@@ -115,6 +124,8 @@ class GEMDataset:
         max_cache_size: int = int(10e9),
         share_decode: bool = True,
         video_dtype: str = "float16",
+        use_memory_cache: bool = False,
+        max_memory_cache_size: int = int(100e9),
     ):
         self.root = Path(root)
         self.split = split if isinstance(split, list) else self.DATA_SPLIT[split]
@@ -231,6 +242,16 @@ class GEMDataset:
                 max_size_bytes=max_cache_size,
                 async_writes=True,
             )
+
+        # In-RAM tier over the zstd sample cache (the DreyeveDataset
+        # memory-cache design, dataset_dreyeve.py here; the reference's GEM
+        # dataset has no RAM tier): steady-state epochs skip decompression
+        # entirely. Bounded; size-accounted on insert.
+        self.use_memory_cache = use_memory_cache
+        self.max_memory_cache_size = max_memory_cache_size
+        self._memory_cache: Dict[int, Any] = {}
+        self._memory_cache_bytes = 0
+        self._memory_cache_lock = threading.Lock()
 
         self._indexer = self._create_indexer(cache_dir)
         self._faulty_samples = set()
@@ -614,6 +635,17 @@ class GEMDataset:
             self._return_info = False
         return item, info
 
+    def _memory_cache_put(self, idx: int, data):
+        size = _sample_nbytes(data)
+        with self._memory_cache_lock:
+            if (
+                idx not in self._memory_cache
+                and self._memory_cache_bytes + size
+                < self.max_memory_cache_size
+            ):
+                self._memory_cache[idx] = data
+                self._memory_cache_bytes += size
+
     def __getitem__(self, idx: int):
         if idx not in self._indexer:
             raise IndexError(f"Index {idx} is out of range")
@@ -622,12 +654,20 @@ class GEMDataset:
         if idx in self._faulty_samples:
             return self._replace_faulty(idx)
 
+        if self.use_memory_cache:
+            with self._memory_cache_lock:
+                hit = self._memory_cache.get(idx)
+            if hit is not None:
+                return (hit, item) if self._return_info else hit
+
         if self._sample_cache is not None:
             cached = self._sample_cache.fetch(repr(item) )
             if cached is not None:
                 if cached.get("is_sample_ok", True):
                     cached.pop("is_sample_ok", None)
                     cached["pci"] = item["pci"]
+                    if self.use_memory_cache:
+                        self._memory_cache_put(idx, cached)
                     return (cached, item) if self._return_info else cached
                 self._faulty_samples.add(idx)
                 return self._replace_faulty(idx)
@@ -648,6 +688,8 @@ class GEMDataset:
             logger.warning("Sample %d is not valid; returning a random sample", idx)
             return self._replace_faulty(idx)
 
+        if self.use_memory_cache:
+            self._memory_cache_put(idx, data)
         return (data, item) if self._return_info else data
 
     def _replace_faulty(self, idx: int):

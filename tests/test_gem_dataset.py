@@ -152,6 +152,22 @@ class TestGEMDatasetItems:
                         a[phase][key], b[phase][key], err_msg=key
                     )
 
+    def test_memory_cache_serves_identical_and_bounds(self, gem_root):
+        root, _ = gem_root
+        ds = make_dataset(root, use_memory_cache=True)
+        a = ds[0]
+        assert 0 in ds._memory_cache and ds._memory_cache_bytes > 0
+        b = ds[0]
+        assert b is a  # served from RAM, no recompute
+        # a zero budget stores nothing but still serves correctly
+        ds0 = make_dataset(root, use_memory_cache=True,
+                           max_memory_cache_size=0)
+        item = ds0[0]
+        assert not ds0._memory_cache
+        np.testing.assert_array_equal(
+            item["train"]["gps"], a["train"]["gps"]
+        )
+
     def test_uint8_wire_format_busts_cache(self, gem_root, tmp_path):
         root, _ = gem_root
         ds_u8 = make_dataset(root, video_dtype="uint8", use_cache=True,
