@@ -481,7 +481,11 @@ class SwinV2Backbone(VideoBackboneModule):
             from routeformer_tpu.ops.image import to_float16
 
             images = to_float16(images)
-        if (self.train_backbone or self.unfreeze) and not self.deterministic:
+        # Augment ONLY under train_backbone — the reference gates augs on
+        # `self.train_backbone and self.training` (TimmBackbone.py:174-175),
+        # so an unfreeze-only run never augments; `unfreeze` controls just
+        # the stop_gradient removal (encode_frames).
+        if self.train_backbone and not self.deterministic:
             from routeformer_tpu.ops.augment import photometric_augment
 
             images = photometric_augment(images, self.aug_rngs())

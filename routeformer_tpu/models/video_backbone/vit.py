@@ -201,7 +201,9 @@ class TimmBackbone(VideoBackboneModule):
             from routeformer_tpu.ops.image import to_float16
 
             images = to_float16(images)
-        if (self.train_backbone or self.unfreeze) and not self.deterministic:
+        # Augs gate on train_backbone ONLY (reference TimmBackbone.py:174-175
+        # — unfreeze-only runs never augment; see swin.py).
+        if self.train_backbone and not self.deterministic:
             from routeformer_tpu.ops.augment import photometric_augment
 
             images = photometric_augment(images, self.aug_rngs())

@@ -1,0 +1,184 @@
+"""Core step benchmark subprocess: cold + steady clips/s + FLOPs/MFU.
+
+Runs the flagship Routeformer train step (faithful SwinV2-base + gaze
+fusion + Informer d832/e6, loss, backward, AdamW) on the attached chip and
+prints PROGRESSIVE JSON lines — one after each phase completes — so the
+parent orchestrator (``bench.py``) can merge partial results into the
+official artifact even if a later phase dies or the driver window closes.
+
+Phases:
+- cold: backbone in the step (first-epoch path), batch 16 -> ``value``
+- flops: XLA cost-analysis of the compiled step -> ``step_flops``,
+  ``achieved_tflops``, ``mfu`` against the chip's peak bf16 FLOP/s
+  (round-3 VERDICT #4: perf judged against the chip's roofline, not a
+  CPU torch denominator)
+- steady: precomputed frozen-backbone embeddings (the torchcache steady
+  state, reference video_backbone/__init__.py:14-31) -> ``steady_state_value``
+
+Usage: python tools/bench_core.py   (TPU; first compile is slow, the
+persistent cache at /root/repo/.jax_cache makes reruns fast)
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+BATCH = int(os.getenv("BENCH_BATCH", "16"))
+FRAME_HW = (54, 96)  # synthetic frames; backbone resizes to 256x256 anyway
+N_WARMUP = 2
+N_TIMED = 5
+N_TIMED_CACHED = 10
+
+# Peak dense bf16 FLOP/s per chip, by device_kind substring (public specs).
+_PEAK_BF16 = [
+    ("v6e", 918e12), ("v6 lite", 918e12),
+    ("v5p", 459e12),
+    ("v5e", 197e12), ("v5 lite", 197e12),
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 45e12),
+]
+
+
+def _emit(obj):
+    print(json.dumps(obj), flush=True)
+
+
+def _build_step():
+    from __graft_entry__ import _build_model, _flagship_config
+    from routeformer_tpu.optimizers import build_optimizer
+    from routeformer_tpu.parallel import make_train_step
+    from routeformer_tpu.train import TrainingLosses, routeformer_training_loss
+
+    cfg = _flagship_config()
+    model = _build_model(cfg)
+    tx = build_optimizer(
+        learning_rate=1e-5, weight_decay=1e-4, video_backbone_lr=1e-6,
+        warmup_epochs=2, max_epochs=200, gradient_clip_val=2.5,
+    )
+    losses = TrainingLosses.from_config(cfg)
+
+    def loss_fn(m, inp, tgt, epoch):
+        return routeformer_training_loss(m, inp, tgt, epoch, losses)
+
+    step_fn, params, state, opt_state = make_train_step(model, tx, loss_fn)
+    return cfg, model, step_fn, params, state, opt_state
+
+
+def _time_steps(step_fn, params, state, opt_state, inp, tgt, n_timed):
+    import jax.numpy as jnp
+
+    epoch = jnp.asarray(20)
+    for _ in range(N_WARMUP):
+        params, state, opt_state, metrics = step_fn(
+            params, state, opt_state, inp, tgt, epoch
+        )
+    jax.block_until_ready(metrics)
+    t0 = time.perf_counter()
+    for _ in range(n_timed):
+        params, state, opt_state, metrics = step_fn(
+            params, state, opt_state, inp, tgt, epoch
+        )
+    jax.block_until_ready(metrics)
+    dt = (time.perf_counter() - t0) / n_timed
+    assert np.isfinite(float(metrics["total_loss"]))
+    return dt
+
+
+def _cost_analysis_flops(step_fn, args):
+    """Total FLOPs of the compiled train step per XLA's cost analysis."""
+    compiled = step_fn.lower(*args).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):  # older jax returns [dict]
+        ca = ca[0] if ca else {}
+    flops = float(ca.get("flops", 0.0))
+    return flops if flops > 0 else None
+
+
+def _peak_flops(device) -> float | None:
+    kind = getattr(device, "device_kind", "").lower()
+    for sub, peak in _PEAK_BF16:
+        if sub in kind:
+            return peak
+    return None
+
+
+def bench_cold():
+    """Backbone-in-the-step (first-epoch) clips/sec + FLOPs/MFU."""
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _synthetic
+
+    cfg, _, step_fn, params, state, opt_state = _build_step()
+    batch = _synthetic(cfg, batch_size=BATCH, frame_hw=FRAME_HW, seed=7)
+    inp = {k: jnp.asarray(v) for k, v in batch["train"].items()}
+    tgt = {k: jnp.asarray(v) for k, v in batch["target"].items()}
+    dt = _time_steps(step_fn, params, state, opt_state, inp, tgt, N_TIMED)
+    out = {"value": round(BATCH / dt, 3)}
+    _emit(out)
+
+    # FLOP accounting on the SAME compiled program (cache hit, no recompile)
+    try:
+        epoch = jnp.asarray(20)
+        flops = _cost_analysis_flops(
+            step_fn, (params, state, opt_state, inp, tgt, epoch)
+        )
+        if flops:
+            dev = jax.devices()[0]
+            peak = _peak_flops(dev)
+            achieved = flops / dt
+            out.update(
+                step_flops=flops,
+                achieved_tflops=round(achieved / 1e12, 2),
+                device_kind=getattr(dev, "device_kind", "unknown"),
+                flops_source="xla cost_analysis of the compiled train step",
+            )
+            if peak:
+                out["mfu"] = round(achieved / peak, 4)
+                out["peak_bf16_tflops"] = peak / 1e12
+            _emit(out)
+    except Exception as e:  # noqa: BLE001 — accounting must not sink `value`
+        print(f"flop accounting failed: {e}", file=sys.stderr)
+    return out
+
+
+def bench_steady():
+    """Precomputed-embedding (epochs 2..N) clips/sec."""
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _synthetic
+    from routeformer_tpu.models.video_backbone.cache import VideoFeaturePrecomputer
+
+    cfg, model, step_fn, params, state, opt_state = _build_step()
+    precompute = VideoFeaturePrecomputer(model)
+    batch = _synthetic(cfg, batch_size=BATCH, frame_hw=FRAME_HW, seed=7)
+    inp_np = precompute(batch["train"])
+    tgt_np = precompute(batch["target"])
+    inp = {k: jnp.asarray(v) for k, v in inp_np.items()}
+    tgt = {k: jnp.asarray(v) for k, v in tgt_np.items()}
+    dt = _time_steps(step_fn, params, state, opt_state, inp, tgt, N_TIMED_CACHED)
+    return {"steady_state_value": round(BATCH / dt, 3)}
+
+
+def main():
+    merged = bench_cold()
+    try:
+        merged.update(bench_steady())
+    except Exception as e:  # noqa: BLE001
+        print(f"steady-state phase failed: {e}", file=sys.stderr)
+    _emit(merged)
+
+
+if __name__ == "__main__":
+    main()

@@ -51,6 +51,13 @@ DURATION_S = 60.0 if DEBUG else 240.0
 FRAME_HW = (270, 480)  # 0.2 scaling -> (54, 96), the bench.py step geometry
 
 
+def _emit(obj):
+    """Progressive partial-result JSON line: the parent orchestrator
+    (bench.py) merges these as they arrive, so a timeout mid-phase still
+    lands the completed milestones in the official artifact."""
+    print(json.dumps(obj), flush=True)
+
+
 def build_recording(root: Path):
     from gem_fixture import build_gem_fixture
 
@@ -184,6 +191,7 @@ def measure() -> dict:
             n_clips += batch["train"]["gps"].shape[0]
         pipeline_cold_s = time.perf_counter() - t0
         pipeline_cold = n_clips / pipeline_cold_s
+        _emit({"pipeline_cold_clips_per_sec": round(pipeline_cold, 3)})
         if dataset._sample_cache is not None:
             dataset._sample_cache.flush()  # drain async writes: warm = true hits
 
@@ -192,6 +200,7 @@ def measure() -> dict:
         for batch in loader:
             pass
         pipeline_warm = n_clips / (time.perf_counter() - t0)
+        _emit({"pipeline_warm_clips_per_sec": round(pipeline_warm, 3)})
 
         # compile + step-only rate on a resident batch
         inp, tgt = to_device(first_batch)
@@ -207,10 +216,12 @@ def measure() -> dict:
             )
         jax.block_until_ready(metrics)
         step_only = 3 * BATCH / (time.perf_counter() - t0)
+        _emit({"step_only_clips_per_sec": round(step_only, 3)})
 
         # overlapped end-to-end epochs (warm cache)
         wall, n, host_wait = run_epoch(2)
         e2e_warm = n / wall
+        _emit({"e2e_warm_value": round(e2e_warm, 3)})
 
         # steady-state e2e: device feature memo
         # (USE_EMBEDDING_CACHE=device) — warm batches move zero video
