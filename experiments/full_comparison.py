@@ -377,8 +377,17 @@ def main():
         mesh = make_mesh(n_data=n_data, n_model=n_model)
         print(f"mesh: data={n_data} model={n_model}")
 
+    emb_cache_on = (
+        os.getenv("USE_EMBEDDING_CACHE", "0") != "0"
+        and MODEL_SET == "flagship"
+        and with_video
+    )
     trainer = ParallelTrainer(
-        models, tx, ROUTEFORMER_CONFIG, quartiles=QUARTILES, mesh=mesh
+        models, tx, ROUTEFORMER_CONFIG, quartiles=QUARTILES, mesh=mesh,
+        # With an embedding cache the step consumes frozen precomputed
+        # features; the trainer rejects the epoch-10 unfreeze boundary
+        # rather than silently training a backbone the cache bypasses.
+        feature_cache_active=emb_cache_on,
     )
     ckpt = CheckpointManager(RESULTS_DIR / "checkpoints")
     metrics_logger = MetricsLogger(

@@ -59,6 +59,27 @@ def _sample_nbytes(obj) -> int:
     return 64
 
 
+def _freeze_sample(obj):
+    """Mark every array in a cached sample read-only (in place): a
+    downstream in-place mutation of a served batch then raises instead of
+    silently corrupting the cached sample for every later epoch."""
+    if isinstance(obj, np.ndarray):
+        obj.flags.writeable = False
+    elif isinstance(obj, dict):
+        for v in obj.values():
+            _freeze_sample(v)
+    return obj
+
+
+def _copy_sample(obj):
+    """Shallow per-dict copy of a cached sample: consumers may freely
+    replace keys (maybe_split_video etc.) without touching the cached
+    nesting; the (read-only) arrays stay shared."""
+    if isinstance(obj, dict):
+        return {k: _copy_sample(v) for k, v in obj.items()}
+    return obj
+
+
 class GEMDataset:
     """GEM multimodal driving dataset."""
 
@@ -643,7 +664,8 @@ class GEMDataset:
                 and self._memory_cache_bytes + size
                 < self.max_memory_cache_size
             ):
-                self._memory_cache[idx] = data
+                # arrays become read-only: hits share them across epochs
+                self._memory_cache[idx] = _freeze_sample(data)
                 self._memory_cache_bytes += size
 
     def __getitem__(self, idx: int):
@@ -658,6 +680,7 @@ class GEMDataset:
             with self._memory_cache_lock:
                 hit = self._memory_cache.get(idx)
             if hit is not None:
+                hit = _copy_sample(hit)  # consumers may replace keys freely
                 return (hit, item) if self._return_info else hit
 
         if self._sample_cache is not None:

@@ -35,6 +35,7 @@ from typing import Dict, List, Literal, Optional, Union
 import numpy as np
 
 from routeformer_tpu.io.cache import SampleCache
+from routeformer_tpu.io.dataset import _copy_sample, _freeze_sample
 from routeformer_tpu.io.resample import convert_gps_coordinates
 from routeformer_tpu.score.pci import estimate_pci_batch
 from routeformer_tpu.utils.logging import get_logger
@@ -593,9 +594,6 @@ class DreyeveDataset:
         return length
 
     def __getitem__(self, idx):
-        if self.use_memory_cache and idx in self.full_dataset:
-            return self.full_dataset[idx]
-
         if self.enable_pci_split:
             bin_id = idx % len(self.data_bins)
             key = self.data_bins_keys[bin_id]
@@ -603,6 +601,13 @@ class DreyeveDataset:
             entry = self.data_bins[key][entry_id]
         else:
             entry = self.data[idx]
+
+        if self.use_memory_cache and idx in self.full_dataset:
+            # serve a shallow per-dict copy of the (read-only-array) cached
+            # sample so downstream key replacement / in-place mutation can
+            # never corrupt it for later epochs
+            hit = _copy_sample(self.full_dataset[idx])
+            return (hit, entry) if self._return_info else hit
 
         pci = entry["pci"]
         if self._sample_cache is not None:
@@ -624,7 +629,7 @@ class DreyeveDataset:
         if self.use_memory_cache:
             size = _nbytes(data)
             if self.memory_cache_size + size < self.max_memory_cache_size:
-                self.full_dataset[idx] = data
+                self.full_dataset[idx] = _freeze_sample(data)
                 self.memory_cache_size += size
 
         return (data, entry) if self._return_info else data

@@ -123,11 +123,18 @@ class WindowedVideoReader:
         output_fps: Optional[float] = None,
         transform: Optional[Callable[[np.ndarray], np.ndarray]] = None,
         keep_past_sec: float = 32.0,
+        max_jump_sec: Optional[float] = None,
     ):
         self.path = str(path)
         self.output_fps = output_fps
         self.transform = transform
         self.keep_past_sec = keep_past_sec
+        # Forward-jump bound: an on-grid start further than this past the
+        # buffered tail re-seeks instead of sequentially decoding (and
+        # transforming + buffering) every intermediate frame — under
+        # shuffled loading a jump minutes ahead would otherwise cost
+        # unbounded transient RAM and be far slower than a keyframe seek.
+        self.max_jump_sec = keep_past_sec if max_jump_sec is None else max_jump_sec
         self._lock = threading.Lock()
         self._cap = None
         self._fps: float = 0.0
@@ -286,6 +293,15 @@ class WindowedVideoReader:
         # history — re-seeks: the read_video code path.
         frame_period = 1.0 / self._fps if self._fps else 0.0
         landing = self._grid_landing(start_sec)
+        if landing is not None and landing != "anchor":
+            # Far-forward jump guard: serving this landing would decode the
+            # whole gap sequentially; past ``max_jump_sec`` of unseen tail a
+            # fresh keyframe seek is strictly cheaper (and bounds transient
+            # buffering). Tail = last decoded time, or the pass anchor when
+            # nothing has been decoded yet.
+            tail = self._times[-1] if self._times else self._buf_start
+            if tail is not None and landing - tail > self.max_jump_sec:
+                landing = None
         if landing == "anchor":
             # re-serving the pass's own start window: only valid while the
             # buffer head (the landing frame of the original seek) is

@@ -84,6 +84,13 @@ class InverseFormBackboneConfig(VideoBackboneConfig):
 class VideoBackboneModule(nnx.Module):
     """Abstract video backbone (reference config.py:47-56)."""
 
+    # Whether the trainer's epoch-10 boundary flips this module's
+    # ``unfreeze``. Only the timm-encoder backbones opt in: the reference's
+    # epoch unfreeze lives solely in TimmBackbone.forward
+    # (TimmBackbone.py:123); InverseForm keeps its static partial-freeze
+    # semantics (InverseForm.py:69-75) with no epoch dependence.
+    epoch_unfreeze: bool = False
+
     @property
     @abstractmethod
     def output_feature_shape(self) -> Tuple[int, int, int]:

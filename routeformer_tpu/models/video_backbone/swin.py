@@ -393,6 +393,8 @@ SWIN_PRESETS = {
 class SwinV2Backbone(VideoBackboneModule):
     """Hierarchical SwinV2 encoder producing a (H/32, W/32, 8*embed) map."""
 
+    epoch_unfreeze = True  # participates in the trainer's epoch-10 flip
+
     def __init__(self, configs: Optional[TimmBackboneConfig] = None, *, rngs: nnx.Rngs):
         configs = configs or TimmBackboneConfig()
         self.configs = configs

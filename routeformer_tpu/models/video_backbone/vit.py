@@ -98,6 +98,8 @@ class ViTBlock(nnx.Module):
 class TimmBackbone(VideoBackboneModule):
     """ViT image encoder with the reference's input conditioning."""
 
+    epoch_unfreeze = True  # participates in the trainer's epoch-10 flip
+
     def __init__(self, configs: Optional[TimmBackboneConfig] = None, *, rngs: nnx.Rngs):
         configs = configs or TimmBackboneConfig()
         self.configs = configs

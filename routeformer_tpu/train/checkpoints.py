@@ -243,6 +243,19 @@ class CheckpointManager:
         final = self._latest_dir()
         tmp = final.with_name("_latest.tmp")
         old = final.with_name("_latest.old")
+        # Crash recovery BEFORE treating tmp/old as stale: a crash inside a
+        # previous save's two-rename swap can leave a complete snapshot
+        # only under _latest.old (or a fully written _latest.tmp) with no
+        # _latest at all — promote it instead of destroying the only
+        # exact-resume state.
+        if not final.exists():
+            promoted = self._promotable(tmp, old)
+            if promoted is not None:
+                os.rename(promoted, final)
+                logger.warning(
+                    "recovered interrupted snapshot swap: promoted %s to "
+                    "_latest", promoted.name,
+                )
         for stale in (tmp, old):
             if stale.exists():
                 shutil.rmtree(stale)
@@ -275,7 +288,42 @@ class CheckpointManager:
             )
             return None
 
+    @staticmethod
+    def _promotable(tmp: Path, old: Path):
+        """A complete snapshot left behind by an interrupted swap, if any.
+
+        ``position.json`` is written only after orbax reports the ckpt
+        durable, so its presence marks a complete snapshot. ``tmp`` wins
+        over ``old``: it is the newer state (the swap had not finished).
+        """
+        for cand in (tmp, old):
+            if (cand / "ckpt").exists() and (cand / "position.json").exists():
+                return cand
+        return None
+
     def _restore_latest(self, trainer):
+        latest = self._latest_dir()
+        if not (latest / "ckpt").exists() or not (
+            latest / "position.json"
+        ).exists():
+            # Interrupted swap: a complete snapshot may exist only under
+            # _latest.tmp / _latest.old — promote and restore from it.
+            import os
+
+            promoted = self._promotable(
+                latest.with_name("_latest.tmp"), latest.with_name("_latest.old")
+            )
+            if promoted is None:
+                return None
+            if latest.exists():
+                import shutil
+
+                shutil.rmtree(latest)
+            os.rename(promoted, latest)
+            logger.warning(
+                "recovered interrupted snapshot swap: promoted %s to _latest",
+                promoted.name,
+            )
         path = self._latest_dir() / "ckpt"
         pos_path = self._latest_dir() / "position.json"
         if not path.exists() or not pos_path.exists():

@@ -87,6 +87,7 @@ class ParallelTrainer:
         mesh=None,
         min_shard_dim: int = 512,
         unfreeze_epoch: Optional[int] = 10,
+        feature_cache_active: bool = False,
     ):
         self.model_names = list(models.keys())
         self.config = config
@@ -100,6 +101,12 @@ class ParallelTrainer:
         # (TimmBackbone.py:123: requires_grad_(current_epoch > 10));
         # None disables the unfreeze entirely.
         self.unfreeze_epoch = unfreeze_epoch
+        # Set by the driver when a feature precomputer / embedding cache
+        # serves frozen-backbone features: unfreezing then would train a
+        # backbone whose outputs the step never sees (the cache keeps
+        # serving the construction-time snapshot) — reject at the boundary
+        # instead of silently diverging from non-cache runs.
+        self.feature_cache_active = feature_cache_active
         self._unfrozen = False
 
         self.graphdefs = {}
@@ -242,6 +249,15 @@ class ParallelTrainer:
         want = self.epoch > self.unfreeze_epoch
         if want == self._unfrozen:
             return
+        if want and self.feature_cache_active:
+            raise RuntimeError(
+                f"epoch {self.epoch}: video-backbone unfreeze crossed while "
+                "a feature precomputer/embedding cache is active — cached "
+                "runs would keep serving frozen construction-time features "
+                "and silently diverge from non-cache runs. Disable the "
+                "embedding cache for runs past the unfreeze epoch, or pass "
+                "unfreeze_epoch=None to train fully frozen."
+            )
         any_changed = False
         for name in self.model_names:
             model = nnx.merge(
@@ -249,7 +265,16 @@ class ParallelTrainer:
             )
             changed = False
             for _, module in nnx.iter_modules(model):
-                if hasattr(module, "unfreeze") and module.unfreeze != want:
+                # Only modules that opt in (epoch_unfreeze=True, the
+                # timm-encoder backbones) flip: the reference's epoch-10
+                # unfreeze exists only in TimmBackbone.forward
+                # (TimmBackbone.py:123); InverseForm keeps its static
+                # partial-freeze semantics.
+                if (
+                    getattr(module, "epoch_unfreeze", False)
+                    and hasattr(module, "unfreeze")
+                    and module.unfreeze != want
+                ):
                     module.unfreeze = want
                     changed = True
             if changed:

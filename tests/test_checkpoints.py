@@ -86,6 +86,38 @@ class TestLatestSnapshot:
         trainer = tiny_trainer()
         assert CheckpointManager(tmp_path).restore_latest(trainer) is None
 
+    @pytest.mark.parametrize("leftover", ["_latest.old", "_latest.tmp"])
+    def test_interrupted_swap_recovers(self, tmp_path, leftover):
+        """A crash between the swap's two renames leaves the only complete
+        snapshot under _latest.old (or a fully written _latest.tmp) with no
+        _latest — restore must promote it, and the next save must not
+        destroy it as stale."""
+        import os
+
+        trainer = self._det_trainer()
+        batch = synthetic_batch(0, batch_size=4)
+        ckpt = CheckpointManager(tmp_path)
+        trainer.training_step(batch)
+        ckpt.save_latest(trainer, epoch=3, next_batch=5)
+
+        # simulate the crash window: the completed snapshot sits under the
+        # leftover name, _latest is gone
+        latest = ckpt._latest_dir()
+        os.rename(latest, latest.with_name(leftover))
+
+        fresh = self._det_trainer()
+        pos = CheckpointManager(tmp_path).restore_latest(fresh)
+        assert pos == (3, 5), f"snapshot under {leftover} was not recovered"
+
+        # and a save right after the crash promotes (not deletes) it first:
+        # re-create the crash state, then save — the new snapshot must land
+        # and the stale dirs must be gone
+        os.rename(ckpt._latest_dir(), ckpt._latest_dir().with_name(leftover))
+        ckpt2 = CheckpointManager(tmp_path)
+        ckpt2.save_latest(trainer, epoch=4, next_batch=0)
+        assert CheckpointManager(tmp_path).restore_latest(fresh) == (4, 0)
+        assert not ckpt2._latest_dir().with_name(leftover).exists()
+
     def test_loader_start_batch_skips(self):
         from routeformer_tpu.io.loader import DataLoader
 

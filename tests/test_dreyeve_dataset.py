@@ -139,7 +139,19 @@ class TestDreyeveDataset:
         a = ds[0]
         assert 0 in ds.full_dataset
         b = ds[0]
-        assert a is b  # memory-cache hit returns the same object
+        # hit: arrays shared (no recompute), dicts shallow-copied so key
+        # replacement by a consumer can't corrupt the cache; in-place
+        # array writes raise (read-only)
+        assert b is not a
+        shared = [
+            k for k in a["train"]
+            if isinstance(a["train"][k], np.ndarray)
+        ]
+        assert shared and all(
+            b["train"][k] is a["train"][k] for k in shared
+        )
+        with pytest.raises(ValueError):
+            b["train"][shared[0]][...] = 0
 
     def test_pci_split_bins(self, dreyeve_root):
         ds = make_dataset(

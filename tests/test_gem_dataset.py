@@ -158,7 +158,10 @@ class TestGEMDatasetItems:
         a = ds[0]
         assert 0 in ds._memory_cache and ds._memory_cache_bytes > 0
         b = ds[0]
-        assert b is a  # served from RAM, no recompute
+        # served from RAM: arrays shared (no recompute), dicts shallow-
+        # copied so consumers replacing keys can't corrupt the cache
+        assert b is not a
+        assert b["train"]["gps"] is a["train"]["gps"]
         # a zero budget stores nothing but still serves correctly
         ds0 = make_dataset(root, use_memory_cache=True,
                            max_memory_cache_size=0)
@@ -167,6 +170,22 @@ class TestGEMDatasetItems:
         np.testing.assert_array_equal(
             item["train"]["gps"], a["train"]["gps"]
         )
+
+    def test_memory_cache_immune_to_consumer_mutation(self, gem_root):
+        """A consumer mutating its batch must not corrupt the cached
+        sample for later epochs: in-place array writes raise (read-only),
+        and key replacement only touches the consumer's shallow copy."""
+        root, _ = gem_root
+        ds = make_dataset(root, use_memory_cache=True)
+        a = ds[0]
+        golden = {k: np.array(v) for k, v in a["train"].items()}
+        b = ds[0]
+        with pytest.raises(ValueError):
+            b["train"]["gps"][:] = 0.0  # in-place write -> read-only error
+        b["train"]["gps"] = np.zeros_like(b["train"]["gps"])  # key swap: ok
+        c = ds[0]
+        for k, v in golden.items():
+            np.testing.assert_array_equal(c["train"][k], v, err_msg=k)
 
     def test_uint8_wire_format_busts_cache(self, gem_root, tmp_path):
         root, _ = gem_root

@@ -394,6 +394,54 @@ class TestEpoch10Unfreeze:
         trainer.training_step(batch)
         assert trainer._unfrozen
 
+    def test_inverseform_excluded_from_epoch_flip(self):
+        """The epoch-10 flip exists only in the reference's TimmBackbone
+        (TimmBackbone.py:123); InverseForm keeps static partial-freeze
+        semantics (InverseForm.py:69-75) — the trainer must not flip it."""
+        from flax import nnx as _nnx
+
+        from routeformer_tpu.models.video_backbone.inverseform import (
+            InverseForm,
+        )
+
+        trainer, batch = self._make()
+        assert not InverseForm.epoch_unfreeze
+        # graft an InverseForm next to the flagship model and cross the
+        # boundary: only the timm backbone flips
+        inv = InverseForm(rngs=_nnx.Rngs(0))
+        model = _nnx.merge(
+            trainer.graphdefs["flagship"],
+            trainer.params["flagship"],
+            trainer.states["flagship"],
+        )
+        model.aux_inverseform = inv
+        gd, p, s = _nnx.split(model, _nnx.Param, ...)
+        trainer.graphdefs["flagship"] = gd
+        trainer.params["flagship"] = p
+        trainer.states["flagship"] = s
+
+        trainer.epoch = 11
+        trainer._apply_unfreeze()
+        merged = _nnx.merge(
+            trainer.graphdefs["flagship"],
+            trainer.params["flagship"],
+            trainer.states["flagship"],
+        )
+        assert merged.video_backbone.unfreeze is True
+        assert merged.aux_inverseform.unfreeze is False
+
+    def test_unfreeze_with_feature_cache_raises(self):
+        """An active embedding cache serves frozen construction-time
+        features; crossing the unfreeze boundary must fail loudly instead
+        of silently diverging from non-cache runs."""
+        trainer, batch = self._make()
+        trainer.feature_cache_active = True
+        trainer.epoch = 10
+        trainer._apply_unfreeze()  # pre-boundary: fine
+        trainer.epoch = 11
+        with pytest.raises(RuntimeError, match="embedding cache"):
+            trainer._apply_unfreeze()
+
 
 class TestAutoregressiveEval:
     """Regression: MC eval of an autoregressive video model must not leak

@@ -99,6 +99,36 @@ class TestWindowedVideoReader:
         np.testing.assert_array_equal(shared, _fresh(video_path, 0.0, WINDOW))
         reader.close()
 
+    def test_far_forward_jump_reseeks(self, video_path):
+        """A shuffled-loading jump far past the buffered tail must take a
+        fresh keyframe seek (bounded RAM/time), NOT sequentially decode and
+        buffer the whole gap — and stay byte-identical either way."""
+        reader = WindowedVideoReader(
+            video_path, OUTPUT_FPS, keep_past_sec=WINDOW + 2, max_jump_sec=4.0
+        )
+        reader.read(0.0, WINDOW)
+        assert reader.n_resets == 1
+        start = 24.0  # on-grid, ~10 s past the buffered tail (> max_jump)
+        shared = reader.read(start, start + WINDOW)["video"]
+        np.testing.assert_array_equal(
+            shared, _fresh(video_path, start, start + WINDOW)
+        )
+        assert reader.n_resets == 2, "far-forward jump must re-seek"
+        # buffer holds only the new window, not the skipped gap
+        assert len(reader._frames) <= int(WINDOW * OUTPUT_FPS) + 2
+        reader.close()
+
+    def test_near_forward_jump_stays_shared(self, video_path):
+        """Jumps within the bound keep riding the pass (no extra seek)."""
+        reader = WindowedVideoReader(video_path, OUTPUT_FPS)
+        reader.read(0.0, WINDOW)
+        shared = reader.read(16.0, 16.0 + WINDOW)["video"]  # 2 s past tail
+        np.testing.assert_array_equal(
+            shared, _fresh(video_path, 16.0, 16.0 + WINDOW)
+        )
+        assert reader.n_resets == 1
+        reader.close()
+
     def test_transform_applied_per_frame(self, video_path):
         """The decode-time transform must equal post-hoc application."""
 
