@@ -13,16 +13,18 @@ NATIVE_DIR = Path(__file__).resolve().parent
 LIB_DIR = NATIVE_DIR / "lib"
 
 TARGETS = [
-    ("gpmf.cpp", "libgpmf.so"),
+    ("gpmf.cpp", "libgpmf.so", []),
+    # audio decode links the system ffmpeg libs (same decoder stack cv2 uses)
+    ("audio.cpp", "librfaudio.so", ["-lavformat", "-lavcodec", "-lavutil"]),
 ]
 
 
 def build() -> int:
     LIB_DIR.mkdir(exist_ok=True)
-    for src, out in TARGETS:
+    for src, out, extra in TARGETS:
         cmd = [
             "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-            str(NATIVE_DIR / src), "-o", str(LIB_DIR / out),
+            str(NATIVE_DIR / src), "-o", str(LIB_DIR / out), *extra,
         ]
         print(" ".join(cmd))
         result = subprocess.run(cmd)

@@ -86,6 +86,8 @@ class GEMDataset:
     GPS_STREAM_HANDLER = "GoPro MET"
     VIDEO_FPS = 30
     GAZE_FPS = 200
+    # Audio sample rate of the recordings (reference dataset.py:189).
+    AUDIO_FPS = 48000
     # Gaze for subjects 009 & 010 is recorded at 76 Hz (reference :202-203).
     ALTERNATIVE_GAZE_FPS = 76
     ALTERNATIVE_GAZE_SUBJECTS = ("009", "010")
@@ -165,14 +167,10 @@ class GEMDataset:
         self.frame_transform = frame_transform
         self.video_transform = video_transform
         self.with_video = with_video
-        if with_audio:
-            # The reference decodes AAC through PyAV (dataset.py:2201-2278);
-            # no audio codec exists in this environment, and no model in the
-            # reference consumes audio.
-            raise NotImplementedError(
-                "with_audio is not supported (no audio decoder available; "
-                "the reference's models never consume audio)"
-            )
+        # Audio decodes through io/audio.py (native ffmpeg shim with the
+        # reference's pts-window semantics; reference dataset.py:2128-2278)
+        # and is returned as left/right/front mono float32 (T, 1) tensors
+        # (reference :1370-1393).
         self.with_audio = with_audio
         self.with_gaze = with_gaze
         self.mask_nonfixations = mask_nonfixations
@@ -220,6 +218,8 @@ class GEMDataset:
 
         self.input_video_frame_count = int(self.input_length * self.output_fps)
         self.target_video_frame_count = int(self.target_length * self.output_fps)
+        self.input_audio_frame_count = int(self.input_length * self.AUDIO_FPS)
+        self.target_audio_frame_count = int(self.target_length * self.AUDIO_FPS)
         self.input_gaze_frame_count = int(self.input_length * self.GAZE_FPS)
         self.target_gaze_frame_count = int(self.target_length * self.GAZE_FPS)
         self.alternative_input_gaze_frame_count = int(
@@ -540,7 +540,7 @@ class GEMDataset:
                 self.gopro_scaling_factor, self.front_scaling_factor,
                 self.frame_transform, self.video_transform, self.output_format,
                 self.dilution_threshold, self.with_video, self.with_gaze,
-                self.mask_nonfixations, self.video_dtype,
+                self.with_audio, self.mask_nonfixations, self.video_dtype,
             )
         )
 
@@ -850,6 +850,18 @@ class GEMDataset:
             data["left_video"] = left_video
             data["right_video"] = right_video
 
+        if self.with_audio:
+            # Same per-camera windows as the video decode (the reference
+            # extracts audio in the same _read_video pass, :2026-2040).
+            from routeformer_tpu.io.audio import read_audio
+
+            data["left_audio"] = read_audio(
+                left, start + left_offset, end + left_offset
+            )["audio"]
+            data["right_audio"] = read_audio(
+                right, start + right_offset, end + right_offset
+            )["audio"]
+
         start_posix = origin_time + start
         end_posix = origin_time + end
         grid, values = self._get_full_corrected_gps(corr_gps, metadata)
@@ -895,6 +907,17 @@ class GEMDataset:
         world = self._read_world_video(subject, gaze_metadata, start_posix, end_posix)
         if "video" in world:
             data["front_video"] = world["video"]
+        if self.with_audio:
+            # Front audio rides the world recording (reference :1849-1850),
+            # over the same window as the front video.
+            from routeformer_tpu.io.audio import read_audio
+
+            video_paths = self.video_samples[subject]
+            data["front_audio"] = read_audio(
+                video_paths["video"],
+                start_posix - gaze_metadata["start_time_video"],
+                end_posix - gaze_metadata["start_time_video"],
+            )["audio"]
         data["gaze"] = self._read_gaze_data(
             subject, gaze_metadata, start_posix, end_posix
         )
@@ -989,6 +1012,18 @@ class GEMDataset:
                 logger.warning("Video lengths differ %s; trimming to %d", lengths, min_len)
                 for k in keys:
                     data[k] = data[k][:min_len]
+        if self.with_audio:
+            # trim the three audio streams to a common length
+            # (reference :1379-1390)
+            keys = [k for k in ("left_audio", "right_audio", "front_audio") if k in data]
+            lengths = [data[k].shape[0] for k in keys]
+            if lengths and len(set(lengths)) > 1:
+                min_len = min(lengths)
+                logger.warning(
+                    "Audio lengths differ %s; trimming to %d", lengths, min_len
+                )
+                for k in keys:
+                    data[k] = data[k][:min_len]
         return data
 
     def _apply_scaling(self, data):
@@ -1033,6 +1068,8 @@ class GEMDataset:
         return data
 
     def _get_frame_counts(self, key: str, subject: str):
+        if "audio" in key:
+            return self.input_audio_frame_count, self.target_audio_frame_count
         if "video" in key or key == "gps":
             return self.input_video_frame_count, self.target_video_frame_count
         if "gaze" in key:

@@ -45,6 +45,9 @@ class Track:
     time_deltas: List[Tuple[int, int]] = field(default_factory=list)
     width: float = 0.0
     height: float = 0.0
+    # raw bytes of the first stsd sample entry (codec-specific fields, e.g.
+    # audio channel count / sample size — parsed by io/audio.py)
+    stsd_entry: bytes = b""
 
     @property
     def n_samples(self) -> int:
@@ -201,6 +204,12 @@ class MP4(object):
                     if count > 0:
                         track.codec = buf[body + 12 : body + 16].decode(
                             "latin-1", errors="replace"
+                        )
+                        entry_size = struct.unpack(
+                            ">I", buf[body + 8 : body + 12]
+                        )[0]
+                        track.stsd_entry = bytes(
+                            buf[body + 8 : body + 8 + entry_size]
                         )
                 elif box_type == b"stsz":
                     uniform, count = struct.unpack(">II", buf[body + 4 : body + 12])

@@ -148,16 +148,125 @@ def inject_gpmf_track(path: Path, payload: bytes):
     del mp4
 
 
+def audio_tone(duration_s: float, rate: int, seed: int = 0) -> np.ndarray:
+    """Deterministic stereo int16 PCM: distinct tones per channel + noise,
+    so window slicing and channel averaging are both observable."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(duration_s * rate)) / rate
+    left = 12000 * np.sin(2 * np.pi * 440.0 * t)
+    right = 9000 * np.sin(2 * np.pi * 660.0 * t)
+    pcm = np.stack([left, right], axis=1)
+    pcm += rng.normal(0, 150, size=pcm.shape)
+    return np.clip(pcm, -32768, 32767).astype(np.int16)
+
+
+def inject_pcm_audio_track(
+    path: Path, pcm: np.ndarray, rate: int, frames_per_chunk: int = 1024
+):
+    """Add a 16-bit little-endian PCM ('sowt') audio track to an MP4.
+
+    Same append strategy as :func:`inject_gpmf_track`: the current moov is
+    blanked to ``free``, a new mdat with the PCM payload is appended, and a
+    merged moov (old body + the audio trak) follows. Chunks hold
+    ``frames_per_chunk`` PCM frames — the granularity ffmpeg's mov demuxer
+    packetizes PCM at, which the pure-Python twin mirrors.
+    """
+    assert pcm.dtype == np.int16 and pcm.ndim == 2
+    n, channels = pcm.shape
+    payload = pcm.astype("<i2").tobytes()
+
+    data = bytearray(path.read_bytes())
+    pos = 0
+    moov_pos = moov_size = None
+    while pos + 8 <= len(data):
+        size = struct.unpack(">I", data[pos : pos + 4])[0]
+        btype = bytes(data[pos + 4 : pos + 8])
+        if size == 0:
+            size = len(data) - pos
+        if btype == b"moov":
+            moov_pos, moov_size = pos, size
+            break
+        pos += size
+    assert moov_pos is not None, "no moov in fixture video"
+    moov_body = bytes(data[moov_pos + 8 : moov_pos + moov_size])
+    data[moov_pos + 4 : moov_pos + 8] = b"free"
+
+    mdat_offset = len(data)
+    data += struct.pack(">I", 8 + len(payload)) + b"mdat" + payload
+    payload_offset = mdat_offset + 8
+
+    def full(btype, version_flags, body):
+        return (
+            struct.pack(">I", 8 + 4 + len(body))
+            + btype
+            + struct.pack(">I", version_flags)
+            + body
+        )
+
+    def box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    frame_bytes = 2 * channels
+    n_chunks = (n + frames_per_chunk - 1) // frames_per_chunk
+    chunk_offsets = [
+        payload_offset + i * frames_per_chunk * frame_bytes
+        for i in range(n_chunks)
+    ]
+    tkhd = full(
+        b"tkhd", 7,
+        struct.pack(">III", 0, 0, 98) + b"\x00" * 60 + struct.pack(">II", 0, 0),
+    )
+    mdhd = full(
+        b"mdhd", 0,
+        struct.pack(">IIII", 0, 0, rate, n) + b"\x00\x00\x00\x00",
+    )
+    hdlr = full(b"hdlr", 0, b"\x00" * 4 + b"soun" + b"\x00" * 12 + b"Audio\x00")
+    # v0 AudioSampleEntry: reserved(6) dref(2) ver(2) rev(2) vendor(4)
+    # channels(2) bits(2) compression(2) packet(2) rate(16.16)
+    entry = (
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + struct.pack(">HHIHHHH", 0, 0, 0, channels, 16, 0, 0)
+        + struct.pack(">I", rate << 16)
+    )
+    stsd = full(b"stsd", 0, struct.pack(">I", 1) + box(b"sowt", entry))
+    stsz = full(b"stsz", 0, struct.pack(">II", frame_bytes, n))
+    stco = full(
+        b"stco", 0,
+        struct.pack(f">I{n_chunks}I", n_chunks, *chunk_offsets),
+    )
+    last_per = n - (n_chunks - 1) * frames_per_chunk
+    if n_chunks > 1 and last_per != frames_per_chunk:
+        stsc_body = struct.pack(
+            ">IIIIIII", 2, 1, frames_per_chunk, 1, n_chunks, last_per, 1
+        )
+    else:
+        stsc_body = struct.pack(">IIII", 1, 1, min(frames_per_chunk, n), 1)
+    stsc = full(b"stsc", 0, stsc_body)
+    stts = full(b"stts", 0, struct.pack(">III", 1, n, 1))
+    stbl = box(b"stbl", stsd + stsz + stco + stsc + stts)
+    smhd = full(b"smhd", 0, b"\x00" * 4)
+    minf = box(b"minf", smhd + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+
+    data += box(b"moov", moov_body + trak)
+    path.write_bytes(bytes(data))
+
+
 def build_gem_fixture(
     root: Path,
     duration_s: float = 20.0,
     subject: str = "001",
     hw=(48, 64),
+    with_audio: bool = False,
+    audio_rate: int = 48000,
 ):
     """Write a complete synthetic GEM recording under ``root``.
 
     ``hw`` sizes the GoPro/world frames — tests keep the tiny default;
     ``tools/bench_e2e.py`` uses larger frames for a realistic decode load.
+    ``with_audio`` injects 16-bit PCM stereo tracks into all three videos
+    (left/right/world) for the dataset's ``with_audio`` path.
     """
     root = Path(root)
     gopro = root / "01GoPro" / subject
@@ -177,6 +286,9 @@ def build_gem_fixture(
     write_video(right, n_frames, hw=hw, seed=2)
     inject_gpmf_track(left, payload)
     inject_gpmf_track(right, payload)
+    if with_audio:
+        inject_pcm_audio_track(left, audio_tone(duration_s, audio_rate, 11), audio_rate)
+        inject_pcm_audio_track(right, audio_tone(duration_s, audio_rate, 12), audio_rate)
 
     # Eye tracker: pupil-internal timestamps are near-zero relative values;
     # the posix anchor is start_time_gaze (= T0 here), added by the reader.
@@ -203,6 +315,8 @@ def build_gem_fixture(
 
     world = eye / "world.mp4"
     write_video(world, n_frames, hw=hw, seed=4)
+    if with_audio:
+        inject_pcm_audio_track(world, audio_tone(duration_s, audio_rate, 13), audio_rate)
     np.save(eye / "world_timestamps.npy", world_t0 + np.arange(n_frames) / VIDEO_FPS)
 
     save_object(
