@@ -26,6 +26,47 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
+from routeformer_tpu.utils.logging import get_logger
+
+logger = get_logger("video_backbone.swin")
+
+
+import threading  # noqa: E402  (guard state below)
+
+# Known-bad geometry guard (docs/PERF.md "batch-8 full step faults the TPU
+# worker"): the flagship train step at certain FRAME batch sizes crashes
+# the axon TPU worker at runtime when the Pallas window kernel is in the
+# program — while every component (the kernel at each in-step shape, the
+# backbone forward alone) passes in isolation, i.e. a whole-program
+# XLA/Mosaic scheduling interaction. The verified-safe fallback is the
+# einsum window path for the ENTIRE encode of a known-bad geometry, which
+# this guard applies automatically at trace time (no env var needed).
+# 144/192 are the batch-8 e2e frame batches (8 samples x 18 gopro /
+# 24 front frames; stage-1 window batches 2304/3072 from the bisection).
+# Override/extend via ROUTEFORMER_SWIN_FLASH_BAD_FRAMES="144,192" (empty
+# string disables the guard). Minimal repro for upstream:
+# STEP_BATCH=8 python tools/step_at_batch.py
+_DEFAULT_BAD_FRAME_COUNTS = frozenset({144, 192})
+_flash_guard = threading.local()
+
+
+def _bad_frame_counts() -> frozenset:
+    env = os.environ.get("ROUTEFORMER_SWIN_FLASH_BAD_FRAMES")
+    if env is None:
+        return _DEFAULT_BAD_FRAME_COUNTS
+    return frozenset(int(v) for v in env.split(",") if v.strip())
+
+
+class _force_einsum_windows:
+    """Trace-time context: dispatch every window attention inside to the
+    einsum path (the known-bad-geometry fallback)."""
+
+    def __enter__(self):
+        _flash_guard.active = getattr(_flash_guard, "active", 0) + 1
+
+    def __exit__(self, *exc):
+        _flash_guard.active -= 1
+
 
 def _use_window_flash(
     batch_windows: int, tokens: int, mode: Optional[str] = None
@@ -44,6 +85,8 @@ def _use_window_flash(
     numeric paths (Pallas bf16 fused kernel vs f32 einsum), and changing
     the env var after the first compiled step has no effect.
     """
+    if getattr(_flash_guard, "active", 0):
+        return False  # inside a known-bad-geometry encode (see guard above)
     if mode is None:
         mode = os.environ.get("ROUTEFORMER_SWIN_FLASH", "auto")
     if mode == "0":
@@ -500,6 +543,21 @@ class SwinV2Backbone(VideoBackboneModule):
         return self.encode_frames(self.preprocess_frames(images))
 
     def encode_frames(self, x: jnp.ndarray) -> jnp.ndarray:
+        # Automatic fallback for geometries known to fault the TPU worker
+        # with the Pallas window kernel in the full-step program (see the
+        # guard at the top of this module / docs/PERF.md): those frame
+        # batches take the einsum window path for the whole encode.
+        if x.shape[0] in _bad_frame_counts() and jax.default_backend() == "tpu":
+            logger.warning(
+                "SwinV2 encode at known-bad frame batch %d: window "
+                "attention falls back to the einsum path (see docs/PERF.md "
+                "batch-8 kernel fault)", x.shape[0],
+            )
+            with _force_einsum_windows():
+                return self._encode_frames_body(x)
+        return self._encode_frames_body(x)
+
+    def _encode_frames_body(self, x: jnp.ndarray) -> jnp.ndarray:
         x = self.patch_embed(x)
         x = self.patch_norm(x.astype(jnp.float32)).astype(x.dtype)
         for si, stage in enumerate(self.stages):

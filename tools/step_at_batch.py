@@ -28,7 +28,7 @@ FRAME_HW = (54, 96)
 
 def main():
     from __graft_entry__ import _synthetic
-    from bench import _build_step
+    from bench_core import _build_step
 
     cfg, _, step_fn, params, state, opt_state = _build_step()
     batch = _synthetic(cfg, batch_size=BATCH, frame_hw=FRAME_HW, seed=7)

@@ -53,7 +53,7 @@ def main():
     fa.flash_window_attention = recording_kernel
 
     from __graft_entry__ import _synthetic
-    from bench import _build_step
+    from bench_core import _build_step
 
     cfg, _, step_fn, params, state, opt_state = _build_step()
 
