@@ -273,7 +273,7 @@ def _build_models(model_set: str):
     return models
 
 
-def build_data(with_video: bool, single_device: bool = True):
+def build_data(with_video: bool, mesh=None, host_arrays: bool = False):
     """Dataset batches: real GEM/DR(eye)VE pipelines when present, synthetic
     otherwise (this container ships no recordings)."""
     if DATASET_DIR and Path(DATASET_DIR).exists():
@@ -319,12 +319,16 @@ def build_data(with_video: bool, single_device: bool = True):
                                   with_gaze=with_video, **common)
             ds_val = GEMDataset(root=DATASET_DIR, split="val", min_pci=MIN_PCI,
                                 with_gaze=with_video, **common)
-        # Single-device runs place batches (and dedup video H2D through the
-        # device frame store) from the producer thread; mesh runs hand host
-        # arrays to the trainer, which shards them (_place_batch).
+        # Producer-side device placement + frame-store H2D dedup: single-
+        # device runs use the plain router; mesh runs use the sharded tier
+        # (per-device rings + global-array assembly, MeshFrameStoreRouter)
+        # so data-parallel runs keep the dedup instead of re-shipping full
+        # batches. Only an active embedding cache (host-side precompute
+        # consumes numpy pixels) forces host arrays.
         h2d = dict(
-            to_device=single_device,
-            h2d_dedup=single_device and os.getenv("H2D_DEDUP", "1") == "1",
+            to_device=not host_arrays,
+            h2d_dedup=not host_arrays and os.getenv("H2D_DEDUP", "1") == "1",
+            mesh=None if host_arrays else mesh,
         )
         train = DataLoader(ds_train, batch_size=BATCH_SIZE, shuffle=True, **h2d)
         val = DataLoader(ds_val, batch_size=BATCH_SIZE, shuffle=False, **h2d)
@@ -396,16 +400,13 @@ def main():
         config=ROUTEFORMER_CONFIG.to_dict(),
     )
 
-    # Producer-side device placement + frame-store dedup only when neither
-    # the mesh (sharded placement in the trainer) nor the embedding cache
-    # (host-side precompute consumes numpy pixels) needs host arrays.
-    host_arrays_needed = mesh is not None or (
-        os.getenv("USE_EMBEDDING_CACHE", "0") != "0"
-        and MODEL_SET == "flagship"
-        and with_video
-    )
+    # Producer-side device placement + frame-store dedup runs for both
+    # single-device and mesh runs (the mesh tier shards batches over the
+    # data axis with per-device rings); only an active embedding cache
+    # (host-side precompute consumes numpy pixels) forces host arrays.
+    host_arrays_needed = emb_cache_on
     train_data, val_data = build_data(
-        with_video, single_device=not host_arrays_needed
+        with_video, mesh=mesh, host_arrays=host_arrays_needed
     )
 
     # DR(eye)VE has one garmin view; split it into left/right halves

@@ -120,15 +120,17 @@ class DeviceFrameStore:
         frame_shape: Tuple[int, ...],
         dtype,
         capacity: int,
+        device=None,
     ):
         import jax
         import jax.numpy as jnp
 
         self.frame_shape = tuple(frame_shape)
         self.dtype = np.dtype(dtype)
+        self.device = device  # None: default device; else pinned (mesh tier)
         self._ring = ContentRing(capacity, owner="DeviceFrameStore")
-        self._store = jnp.zeros(
-            (self._ring.capacity, *self.frame_shape), dtype=self.dtype
+        self._store = self._put(
+            np.zeros((self._ring.capacity, *self.frame_shape), dtype=self.dtype)
         )
         # observability
         self.frames_seen = 0
@@ -145,24 +147,36 @@ class DeviceFrameStore:
         self._gather = gather
         self._scatter = jax.jit(scatter, donate_argnums=0)
 
+    def _put(self, x):
+        """Host array -> device array, pinned to this store's device when
+        one was given (committed inputs keep the jitted gather/scatter on
+        that device)."""
+        import jax
+        import jax.numpy as jnp
+
+        if self.device is None:
+            return jnp.asarray(x)
+        return jax.device_put(x, self.device)
+
     @property
     def capacity(self) -> int:
         return self._ring.capacity
 
-    def put_windows(self, windows: np.ndarray):
+    def put_windows(self, windows: np.ndarray, keys=None):
         """(B, T, *frame_shape) host windows -> device array, deduplicated.
 
         Ships only frames whose content hash is not already resident; the
         returned device tensor equals ``jnp.asarray(windows)`` exactly.
+        ``keys`` are the precomputed content hashes of the flattened frames
+        (the mesh router hashes each shard once for all model replicas).
         """
-        import jax.numpy as jnp
-
         windows = np.ascontiguousarray(windows)
         b, t = windows.shape[:2]
         flat = windows.reshape((-1, *windows.shape[2:]))
         self.frames_seen += flat.shape[0]
 
-        keys = hash_frames(flat)
+        if keys is None:
+            keys = hash_frames(flat)
         idx, novel, needed = self._ring.resolve(keys)
 
         if novel:
@@ -183,10 +197,10 @@ class DeviceFrameStore:
                     [slots, np.full((pad,), self.capacity, np.int32)]
                 )
             self._store = self._scatter(
-                self._store, jnp.asarray(slots), jnp.asarray(frames)
+                self._store, self._put(slots), self._put(frames)
             )
 
-        out = self._gather(self._store, jnp.asarray(idx))
+        out = self._gather(self._store, self._put(idx))
         return out.reshape((b, t, *self.frame_shape))
 
 
@@ -238,3 +252,107 @@ class FrameStoreRouter:
             }
             for k, s in self._stores.items()
         }
+
+
+class MeshFrameStoreRouter:
+    """Sharded transfer tier: the frame-store dedup for mesh runs.
+
+    The data-parallel input split assigns batch rows to mesh data shards
+    deterministically (row ``r`` -> shard ``r // (B / n_data)`` — the
+    reference's per-rank DataLoader partitioning,
+    ``experiments/full_comparison.py:766-768``). Each (stream, data-shard,
+    model-replica) triple gets its own device-pinned :class:`DeviceFrameStore`
+    whose ring lives on that mesh device; ``put`` dedups each shard's rows
+    against its own ring and assembles the global batch-sharded array from
+    the per-device gathers via ``jax.make_array_from_single_device_arrays``
+    — bit-identical to ``device_put(windows, NamedSharding(mesh,
+    P('data')))`` at a fraction of the wire bytes.
+
+    This is the per-host ContentRing design mapped onto a single-host
+    multi-device mesh: on a real multi-host pod each host runs one router
+    over its addressable mesh column, so dedup stays host-local and novel
+    frames cross the wire once per host (x ``n_model`` for model-axis
+    replicas; ``n_model`` is 1 in the bench topology).
+    """
+
+    def __init__(self, mesh, budget_bytes: float = 512e6, n_streams_hint: int = 3):
+        from routeformer_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        self.mesh = mesh
+        self.n_data = mesh.shape[DATA_AXIS]
+        self.n_model = mesh.shape.get(MODEL_AXIS, 1)
+        # (n_data, n_model) grid of this process's devices
+        self.device_grid = np.asarray(mesh.devices).reshape(
+            self.n_data, self.n_model
+        )
+        # budget is per-device: each ring only holds its shard's frames
+        self.budget_bytes = float(budget_bytes)
+        self.n_streams_hint = max(1, int(n_streams_hint))
+        self._stores: Dict[tuple, DeviceFrameStore] = {}
+
+    def _store_for(self, name: str, chunk: np.ndarray, d: int, m: int):
+        key = (name, chunk.shape[2:], np.dtype(chunk.dtype).str, d, m)
+        store = self._stores.get(key)
+        if store is None:
+            frame_bytes = int(np.prod(chunk.shape[2:]) * chunk.dtype.itemsize)
+            per_stream = self.budget_bytes / self.n_streams_hint
+            capacity = int(per_stream // max(frame_bytes, 1))
+            min_cap = 2 * chunk.shape[0] * chunk.shape[1]
+            if capacity < min_cap:
+                logger.info(
+                    "mesh frame store %s[d%d,m%d]: budget %.0f MB < 2 "
+                    "shard-batches; raising capacity to %d frames",
+                    name, d, m, per_stream / 1e6, min_cap,
+                )
+                capacity = min_cap
+            store = DeviceFrameStore(
+                chunk.shape[2:], chunk.dtype, capacity,
+                device=self.device_grid[d, m],
+            )
+            self._stores[key] = store
+        return store
+
+    def put(self, name: str, windows: np.ndarray):
+        """(B, T, *frame) host windows -> GLOBAL jax.Array sharded
+        ``P('data')`` over the mesh, video bytes deduplicated per shard."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from routeformer_tpu.parallel.mesh import DATA_AXIS
+
+        windows = np.ascontiguousarray(windows)
+        b = windows.shape[0]
+        if b % self.n_data != 0:
+            raise ValueError(
+                f"batch {b} not divisible by data-parallel degree "
+                f"{self.n_data}"
+            )
+        rows = b // self.n_data
+        spec = P(DATA_AXIS, *([None] * (windows.ndim - 1)))
+        sharding = NamedSharding(self.mesh, spec)
+
+        shard_by_device = {}
+        for d in range(self.n_data):
+            chunk = np.ascontiguousarray(windows[d * rows : (d + 1) * rows])
+            keys = hash_frames(chunk.reshape((-1, *chunk.shape[2:])))
+            for m in range(self.n_model):
+                store = self._store_for(name, chunk, d, m)
+                shard_by_device[self.device_grid[d, m]] = store.put_windows(
+                    chunk, keys=keys
+                )
+        dmap = sharding.devices_indices_map(windows.shape)
+        return jax.make_array_from_single_device_arrays(
+            windows.shape, sharding, [shard_by_device[dev] for dev in dmap]
+        )
+
+    def stats(self) -> Dict[str, Dict[str, int]]:
+        out: Dict[str, Dict[str, int]] = {}
+        for (name, shape, _, d, m), s in self._stores.items():
+            entry = out.setdefault(
+                name + str(shape),
+                {"seen": 0, "shipped": 0, "capacity": 0},
+            )
+            entry["seen"] += s.frames_seen
+            entry["shipped"] += s.frames_shipped
+            entry["capacity"] += s.capacity
+        return out

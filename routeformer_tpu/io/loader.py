@@ -24,6 +24,18 @@ from routeformer_tpu.utils.logging import get_logger
 logger = get_logger("io.loader")
 
 
+def _mesh_put(mesh, x: np.ndarray):
+    """Leaf -> global array sharded on the leading dim over the mesh's
+    ``data`` axis (replicated when 0-D) — the trainer's batch layout."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from routeformer_tpu.parallel.mesh import DATA_AXIS
+
+    spec = P(DATA_AXIS, *([None] * (x.ndim - 1))) if x.ndim >= 1 else P()
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
 def default_collate(samples: Sequence[dict]) -> dict:
     """Stack a list of sample dicts into one batch dict (nested)."""
     first = samples[0]
@@ -56,6 +68,7 @@ class DataLoader:
         to_device: bool = False,
         h2d_dedup: bool = False,
         dedup_budget_bytes: float = 512e6,
+        mesh=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -77,13 +90,28 @@ class DataLoader:
         # device-resident and assembles windows by an on-device gather —
         # bit-identical batches, a fraction of the wire traffic.
         self.h2d_dedup = h2d_dedup and to_device
+        # Mesh runs shard the batch dim over the `data` axis from the
+        # producer thread (the reference's per-rank DataLoader partitioning,
+        # full_comparison.py:766-768): video streams go through the sharded
+        # frame-store tier (per-device rings, io/frame_store.py
+        # MeshFrameStoreRouter), other leaves are device_put with the same
+        # P('data') layout the trainer would apply — so trainer._place_batch
+        # sees already-placed global arrays and its device_put is a no-op.
+        self.mesh = mesh
         self._frame_router = None
         if self.h2d_dedup:
-            from routeformer_tpu.io.frame_store import FrameStoreRouter
+            if mesh is not None:
+                from routeformer_tpu.io.frame_store import MeshFrameStoreRouter
 
-            self._frame_router = FrameStoreRouter(
-                budget_bytes=dedup_budget_bytes
-            )
+                self._frame_router = MeshFrameStoreRouter(
+                    mesh, budget_bytes=dedup_budget_bytes
+                )
+            else:
+                from routeformer_tpu.io.frame_store import FrameStoreRouter
+
+                self._frame_router = FrameStoreRouter(
+                    budget_bytes=dedup_budget_bytes
+                )
         self._epoch = 0
 
     def _place(self, batch: dict) -> dict:
@@ -104,6 +132,8 @@ class DataLoader:
                 # window and a neighbor's target window — one store serves
                 # both
                 out[k] = self._frame_router.put(k, np.asarray(v))
+            elif self.mesh is not None:
+                out[k] = _mesh_put(self.mesh, np.asarray(v))
             else:
                 out[k] = jnp.asarray(v)
         return out
