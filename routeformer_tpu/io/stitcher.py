@@ -70,18 +70,155 @@ def _match_orb(img1: np.ndarray, img2: np.ndarray, n_features: int = 2000):
     return pts1, pts2
 
 
+def _to_gray_f32(img: np.ndarray) -> np.ndarray:
+    import cv2
+
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    img = img.astype(np.float32)
+    if img.ndim == 3:
+        img = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+    return img
+
+
+def _highpass(img: np.ndarray, sigma: float = 12.0) -> np.ndarray:
+    """Remove smooth shading (the part of a low-texture frame that carries
+    no alignment information) so NCC locks onto the weak structure left."""
+    import cv2
+
+    return img - cv2.GaussianBlur(img, (0, 0), sigma)
+
+
+def _match_patches(
+    gl: np.ndarray,
+    gr: np.ndarray,
+    H: Optional[np.ndarray],
+    patch: int,
+    search: int,
+    min_score: float,
+    step: int = 28,
+):
+    """Dense NCC template correspondences between high-passed grays.
+
+    A grid of ``patch``-sized left patches is located in the right image
+    (pre-warped by ``H`` when given) via ``cv2.matchTemplate``
+    (TM_CCOEFF_NORMED — patch-mean-normalized, so smooth shading and the
+    ORB-defeating low contrast don't bias the peak) within a ``search``
+    margin. Returns (left points, points in the warped-right frame)."""
+    import cv2
+
+    h_px, w_px = gl.shape
+    grw = (
+        gr
+        if H is None
+        else cv2.warpPerspective(gr, H.astype(np.float64), (w_px, h_px))
+    )
+    pts_l, pts_w = [], []
+    half = patch // 2
+    for cy in range(half + 8, h_px - half - 8, step):
+        for cx in range(half + 8, w_px - half - 8, step):
+            tmpl = gl[cy - half : cy + half, cx - half : cx + half]
+            if tmpl.std() < 1e-4:
+                continue
+            y0 = max(0, cy - half - search)
+            y1 = min(h_px, cy + half + search)
+            x0 = max(0, cx - half - search)
+            x1 = min(w_px, cx + half + search)
+            res = cv2.matchTemplate(
+                grw[y0:y1, x0:x1], tmpl, cv2.TM_CCOEFF_NORMED
+            )
+            _, mx, _, loc = cv2.minMaxLoc(res)
+            if mx < min_score:
+                continue
+            pts_l.append((cx, cy))
+            pts_w.append((x0 + loc[0] + half, y0 + loc[1] + half))
+    return np.asarray(pts_l, np.float64), np.asarray(pts_w, np.float64)
+
+
+# (patch px, search px, min NCC score, MAGSAC threshold) per round: a
+# small-patch wide-search bootstrap (rotation-tolerant), then two
+# large-patch narrow-search refinements against the pre-warped right.
+_DENSE_ROUNDS = ((24, 70, 0.40, 3.0), (40, 16, 0.55, 1.0), (40, 8, 0.55, 1.0))
+_DENSE_MIN_MATCHES = 8
+
+
+def _dense_match_homography(left: np.ndarray, right: np.ndarray):
+    """Non-learned dense fallback for frames where sparse features
+    collapse — the region the reference covers with LoFTR
+    (image_stitcher.py:54-139). Iterated NCC patch correspondences +
+    MAGSAC: measured on the envelope sweep
+    (tests/test_stitcher_envelope.py) it recovers low-texture pairs to
+    < 1 px across rotations <= 20 deg x perspective <= 5e-4 where ORB
+    finds ZERO correspondences. Raises ValueError (explicit gate) when
+    the frames carry too little structure to match."""
+    gl = _highpass(_to_gray_f32(left))
+    gr = _highpass(_to_gray_f32(right))
+    H = None
+    estimator = None
+    for rnd, (patch, search, score, thr) in enumerate(_DENSE_ROUNDS):
+        pts_l, pts_w = _match_patches(
+            gl, gr, H, patch=patch, search=search, min_score=score
+        )
+        if len(pts_l) < _DENSE_MIN_MATCHES:
+            raise ValueError(
+                f"dense fallback: only {len(pts_l)} patch matches in round "
+                f"{rnd} (needs {_DENSE_MIN_MATCHES}) — frames carry too "
+                "little structure to align"
+            )
+        if H is None:
+            pts_r = pts_w
+        else:
+            # warped-right frame -> original right coords
+            q = np.concatenate(
+                [pts_w, np.ones((len(pts_w), 1))], axis=1
+            ) @ np.linalg.inv(H).T
+            pts_r = q[:, :2] / q[:, 2:3]
+        estimator = RobustHomography(threshold=thr)
+        H, mask = estimator.estimate(pts_r, pts_l)
+    return H, int(mask.sum())
+
+
 class ImageStitcher:
     """Stitch left/right frame sequences with a reused homography."""
+
+    # Below these, sparse estimation is considered degraded and the dense
+    # NCC fallback takes over (the low-texture gate measured in
+    # tests/test_stitcher_envelope.py: textured pairs produce >= 4x more).
+    MIN_CORRESPONDENCES = 20
+    MIN_INLIERS = 12
 
     def __init__(self, threshold: float = 0.5, blend: str = "feather"):
         self.homography = RobustHomography(threshold)
         self.blend = blend
         self._cached_h: Optional[np.ndarray] = None
+        self.last_method: Optional[str] = None  # observability: "orb"/"dense"
 
     def estimate(self, left: np.ndarray, right: np.ndarray) -> np.ndarray:
-        """Estimate (and cache) the right->left-canvas homography."""
+        """Estimate (and cache) the right->left-canvas homography.
+
+        Sparse ORB+MAGSAC first; when correspondences or MAGSAC inliers
+        fall under the degradation gate (low-texture frames), the dense
+        NCC patch-match fallback recovers the LoFTR region instead of
+        hard-failing. Truly structureless frames still raise ValueError
+        (the explicit gate)."""
         pts_r, pts_l = _match_orb(right, left)
-        H, _ = self.homography.estimate(pts_r, pts_l)
+        H = None
+        if len(pts_r) >= self.MIN_CORRESPONDENCES:
+            try:
+                cand, mask = self.homography.estimate(pts_r, pts_l)
+                n_inliers = int(mask.sum()) if mask is not None else 0
+                if n_inliers >= self.MIN_INLIERS:
+                    H = cand
+                    self.last_method = "orb"
+            except ValueError:
+                pass
+        if H is None:
+            logger.info(
+                "sparse matching degraded (%d correspondences); using the "
+                "dense NCC patch-match fallback", len(pts_r),
+            )
+            H, _ = _dense_match_homography(left, right)
+            self.last_method = "dense"
         self._cached_h = H
         return H
 

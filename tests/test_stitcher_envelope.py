@@ -9,18 +9,25 @@ measures reprojection error against ground truth across
 rotation x perspective on textured AND low-texture frames, and pins the
 supported envelope (documented in docs/PARITY.md).
 
-Measured envelope (this suite, 240x320 textured frames, 30 px baseline):
-ORB+MAGSAC holds < 1 px mean reprojection error for rotations <= 20 deg
-combined with perspective tilt |H[2,0]| <= 5e-4. On low-texture frames
-(smooth gradient + sigma-0.005 noise) matching collapses: estimation
-either raises (too few correspondences) or exceeds the bound — the region
-LoFTR's learned matcher is claimed to cover and this build does not.
+Measured envelope (this suite, 240x320 frames, 30 px baseline):
+- textured: ORB+MAGSAC holds < 1 px mean reprojection error for rotations
+  <= 20 deg x perspective tilt |H[2,0]| <= 5e-4;
+- realistic low-texture (2% contrast structure, ORB finds ZERO
+  correspondences): the round-4 dense NCC patch-match fallback recovers
+  < 1 px across the SAME sweep (TestDenseFallbackRecovery) — the LoFTR
+  region, covered without learned weights;
+- information-free frames (pure gradient + interpolation-destroyed noise):
+  explicit ValueError gate, never a silently wrong homography.
 """
 
 import numpy as np
 import pytest
 
-from routeformer_tpu.io.stitcher import RobustHomography, _match_orb
+from routeformer_tpu.io.stitcher import (
+    ImageStitcher,
+    RobustHomography,
+    _match_orb,
+)
 
 H_PX, W_PX = 240, 320
 BASELINE_SHIFT = 30.0  # px, the stereo-pair translation component
@@ -47,7 +54,11 @@ def _textured(seed=0):
 
 
 def _low_texture(seed=0):
-    """Smooth gradient + faint noise — the ORB failure region."""
+    """Smooth gradient + faint noise — the ORB failure region. NOTE: the
+    per-pixel noise is destroyed by any non-integer warp (bilinear
+    interpolation), so away from integer translations this fixture is
+    near information-free for ANY matcher — it tests the explicit gate,
+    not recoverability."""
     rng = np.random.default_rng(seed)
     ys, xs = np.mgrid[0:H_PX, 0:W_PX].astype(np.float32)
     img = np.stack(
@@ -55,6 +66,25 @@ def _low_texture(seed=0):
     )
     img = img + rng.normal(0, 0.005, img.shape)
     return np.clip(img, 0, 1).astype(np.float32)
+
+
+def _low_contrast(seed=0, amp=0.02):
+    """REALISTIC low-texture: smooth shading + faint warp-stable structure
+    (Gaussian blobs at 2% contrast — far below ORB's FAST threshold, the
+    LoFTR territory). Recoverable in principle, invisible to sparse
+    features."""
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    ys, xs = np.mgrid[0:H_PX, 0:W_PX].astype(np.float32)
+    base = np.stack(
+        [xs / W_PX, 0.5 + 0.3 * ys / H_PX, 0.4 + 0.2 * xs / W_PX], -1
+    )
+    blobs = cv2.GaussianBlur(
+        rng.normal(0, 1, (H_PX, W_PX)).astype(np.float32), (0, 0), 6.0
+    )
+    blobs = amp * blobs / np.abs(blobs).max()
+    return np.clip(base + blobs[..., None], 0, 1).astype(np.float32)
 
 
 def _gt_homography(rot_deg: float, persp: float) -> np.ndarray:
@@ -161,3 +191,63 @@ class TestStitcherEnvelope:
         except ValueError:
             n_low = 0
         assert n_textured >= 4 * max(n_low, 1), (n_textured, n_low)
+
+
+class TestDenseFallbackRecovery:
+    """Round-4: the non-learned dense NCC patch-match fallback must RECOVER
+    the realistic low-texture region (where ORB finds zero correspondences)
+    and explicitly GATE information-free frames — the LoFTR-gap answer
+    (reference image_stitcher.py:54-139)."""
+
+    def test_orb_still_blind_on_low_contrast(self):
+        base = _low_contrast()
+        right = _make_right(base, _gt_homography(5.0, 2e-4))
+        pts_r, pts_l = _match_orb(right, base)
+        assert len(pts_r) < 8, "fixture no longer below the ORB threshold"
+
+    def test_recovers_low_contrast_across_sweep(self):
+        """< 1 px mean reprojection error across the FULL envelope sweep on
+        frames where sparse matching collapses."""
+        base = _low_contrast()
+        failures = {}
+        for rot in ROTATIONS_DEG:
+            for persp in PERSPECTIVES:
+                h_gt = _gt_homography(rot, persp)
+                right = _make_right(base, h_gt)
+                st = ImageStitcher()
+                try:
+                    h_est = st.estimate(base, right)
+                    err = _reproj_error_px(h_est, h_gt)
+                except ValueError as e:
+                    err = float("inf")
+                if err > SUPPORTED_BOUND_PX or st.last_method != "dense":
+                    failures[(rot, persp)] = (err, st.last_method)
+        assert not failures, f"dense fallback outside envelope: {failures}"
+
+    def test_information_free_frames_gate_explicitly(self):
+        """The noise-only fixture under a non-integer warp carries no
+        alignable structure: the fallback must raise (detectable), never
+        return a silently wrong homography."""
+        base = _low_texture()
+        right = _make_right(base, _gt_homography(10.0, 5e-4))
+        st = ImageStitcher()
+        with pytest.raises(ValueError, match="too little structure"):
+            st.estimate(base, right)
+
+    def test_textured_keeps_sparse_path(self):
+        base = _textured()
+        right = _make_right(base, _gt_homography(5.0, 2e-4))
+        st = ImageStitcher()
+        st.estimate(base, right)
+        assert st.last_method == "orb"
+
+    def test_stitch_pair_through_fallback(self):
+        """End-to-end stitch of a low-contrast pair goes through the dense
+        path and produces a finite canvas of the right geometry."""
+        base = _low_contrast()
+        right = _make_right(base, _gt_homography(2.0, 0.0))
+        st = ImageStitcher()
+        canvas = st.stitch_pair(base, right)
+        assert canvas.shape == (H_PX, 2 * W_PX, 3)
+        assert np.isfinite(canvas).all()
+        assert st.last_method == "dense"
