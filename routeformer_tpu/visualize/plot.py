@@ -6,10 +6,13 @@ latitude/longitude columns, with optional view bounds and padding offset)
 and ``render_figure_to_image`` rasterizes a figure to an RGB ndarray.
 
 The reference fetches OpenStreetMap basemap tiles through
-contextily/geopandas; this environment is zero-egress and those libs are
-absent, so the basemap is a neutral grid background — the plotting API and
-coordinate handling are preserved. Accepts pandas DataFrames or plain dicts
-of arrays.
+contextily/geopandas; this environment is zero-egress, so the basemap
+comes from :mod:`routeformer_tpu.visualize.basemap`: cached slippy-map
+tiles when a ``{z}/{x}/{y}.png`` mirror is available (``source=`` path or
+``ROUTEFORMER_TILE_CACHE``), else a drawn cartographic layer (labeled
+graticule, ground-meter scale bar, north arrow). The plotting API and
+coordinate handling are preserved. Accepts pandas DataFrames or plain
+dicts of arrays.
 """
 
 import io
@@ -82,18 +85,25 @@ def plot_gps_data_on_map(
     ax.scatter(x, y, s=markersize, **plot_kwargs)
 
     if bounds is not None:
-        ax.set_xlim(bounds[0], bounds[2])
-        ax.set_ylim(bounds[1], bounds[3])
+        view = (bounds[0], bounds[1], bounds[2], bounds[3])
     else:
         bx, by = (x, y)
         if bounds_gdf is not None:
             bx, by = _extract_xy(bounds_gdf, coordinate_system)
-        ax.set_xlim(bx.min() - offset, bx.max() + offset)
-        ax.set_ylim(by.min() - offset, by.max() + offset)
+        view = (
+            bx.min() - offset, by.min() - offset,
+            bx.max() + offset, by.max() + offset,
+        )
+    ax.set_xlim(view[0], view[2])
+    ax.set_ylim(view[1], view[3])
 
-    # Neutral grid background (contextily basemaps unavailable offline).
-    ax.set_facecolor("#eef2f5")
-    ax.grid(True, color="white", linewidth=1.2)
+    # Offline basemap (the ctx.add_basemap role, reference plot.py:136-141):
+    # cached {z}/{x}/{y}.png tiles when a mirror is configured (`source` as
+    # a path, or ROUTEFORMER_TILE_CACHE), else the drawn graticule/scale
+    # cartographic layer.
+    from routeformer_tpu.visualize.basemap import add_basemap
+
+    add_basemap(ax, view, tile_dir=source)
     ax.set_aspect("equal", adjustable="box")
     return ax
 
