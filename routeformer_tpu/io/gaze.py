@@ -139,6 +139,58 @@ class CameraModel:
 
         return undistort_image_numpy(img, self.K, self.D)
 
+    def solvePnP(
+        self,
+        uv3d,
+        xy,
+        flags=None,
+        useExtrinsicGuess: bool = False,
+        rvec=None,
+        tvec=None,
+    ):
+        """Camera pose from 3D-2D correspondences (reference gaze.py:344-374,
+        cv2.solvePnP SOLVEPNP_ITERATIVE semantics; ``flags`` accepted for
+        signature parity and ignored — this numpy implementation always
+        runs the iterative refinement).
+
+        Initialization: DLT on undistorted ideal coordinates (homography
+        decomposition when the 3D points are coplanar), or the caller's
+        rvec/tvec under ``useExtrinsicGuess``. Refinement: damped
+        Gauss-Newton (Levenberg-Marquardt) on the pixel reprojection
+        residual through the full distortion model. Returns
+        ``(retval, rvec (3,1), tvec (3,1))`` like cv2.
+        """
+        try:
+            obj = np.reshape(np.asarray(uv3d, np.float64), (-1, 3))
+        except ValueError:
+            raise ValueError("uv3d is not 3d points")
+        try:
+            img = np.reshape(np.asarray(xy, np.float64), (-1, 2))
+        except ValueError:
+            raise ValueError("xy is not 2d points")
+        if obj.shape[0] != img.shape[0]:
+            raise ValueError("the number of 3d points and 2d points are not the same")
+        if obj.shape[0] < 4:
+            return False, np.zeros((3, 1)), np.zeros((3, 1))
+
+        ideal = self.undistort_points_to_ideal_point_coordinates(img)
+
+        if useExtrinsicGuess and rvec is not None and tvec is not None:
+            r0 = np.asarray(rvec, np.float64).reshape(3)
+            t0 = np.asarray(tvec, np.float64).reshape(3)
+        else:
+            init = _pnp_initialize(obj, ideal)
+            if init is None:
+                return False, np.zeros((3, 1)), np.zeros((3, 1))
+            r0, t0 = init
+
+        r, t, ok = _pnp_refine(
+            obj, img,
+            lambda pts, rv, tv: self.projectPoints(pts, rvec=rv, tvec=tv),
+            r0, t0,
+        )
+        return ok, r.reshape(3, 1), t.reshape(3, 1)
+
 
 def _rodrigues(rvec: np.ndarray) -> np.ndarray:
     theta = np.linalg.norm(rvec)
@@ -149,6 +201,157 @@ def _rodrigues(rvec: np.ndarray) -> np.ndarray:
         [[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]]
     )
     return np.eye(3) + np.sin(theta) * kx + (1 - np.cos(theta)) * (kx @ kx)
+
+
+def _rodrigues_inv(r: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> axis-angle vector (inverse Rodrigues)."""
+    cos_t = np.clip((np.trace(r) - 1) / 2, -1.0, 1.0)
+    theta = np.arccos(cos_t)
+    if theta < 1e-12:
+        return np.zeros(3)
+    if abs(theta - np.pi) < 1e-6:
+        # near-pi: axis from R + I diagonal
+        m = (r + np.eye(3)) / 2
+        axis = np.sqrt(np.maximum(np.diag(m), 0))
+        axis *= np.sign(
+            [r[2, 1] - r[1, 2], r[0, 2] - r[2, 0], r[1, 0] - r[0, 1]]
+        ) + (axis == 0)
+        return theta * axis / np.linalg.norm(axis)
+    axis = np.array(
+        [r[2, 1] - r[1, 2], r[0, 2] - r[2, 0], r[1, 0] - r[0, 1]]
+    ) / (2 * np.sin(theta))
+    return theta * axis
+
+
+def _nearest_rotation(m: np.ndarray) -> np.ndarray:
+    u, _, vt = np.linalg.svd(m)
+    r = u @ vt
+    if np.linalg.det(r) < 0:
+        r = u @ np.diag([1.0, 1.0, -1.0]) @ vt
+    return r
+
+
+def _pnp_initialize(obj: np.ndarray, ideal: np.ndarray):
+    """Closed-form pose seed from undistorted ideal coords: planar points
+    go through homography decomposition, general clouds through DLT."""
+    centered = obj - obj.mean(axis=0)
+    coplanar = np.linalg.matrix_rank(centered, tol=1e-9 * max(
+        1.0, float(np.abs(centered).max())
+    )) < 3
+
+    if coplanar:
+        # plane basis: express points as (u, v, 0)
+        _, _, vt = np.linalg.svd(centered)
+        basis = vt[:2]
+        uv = centered @ basis.T
+        h = _dlt_homography(uv, ideal)
+        if h is None:
+            return None
+        h1, h2, h3 = h[:, 0], h[:, 1], h[:, 2]
+        scale = (np.linalg.norm(h1) + np.linalg.norm(h2)) / 2
+        if scale < 1e-12:
+            return None
+        h /= scale
+        r_cols = _nearest_rotation(
+            np.stack([h[:, 0], h[:, 1], np.cross(h[:, 0], h[:, 1])], axis=1)
+        )
+        t = h[:, 2]
+        # plane frame -> world frame: X_cam = R_p (u,v,0) + t with
+        # (u,v) = basis (X - mean) => R_world = R_p[:, :2] @ basis
+        r_world = np.eye(3)
+        r_world = r_cols @ np.vstack([basis, np.cross(basis[0], basis[1])])
+        t_world = t - r_world @ obj.mean(axis=0)
+        if np.median((obj @ r_world.T + t_world)[:, 2]) < 0:
+            # points behind the camera: flip the homography sign
+            h = -h
+            r_cols = _nearest_rotation(
+                np.stack(
+                    [h[:, 0], h[:, 1], np.cross(h[:, 0], h[:, 1])], axis=1
+                )
+            )
+            r_world = r_cols @ np.vstack([basis, np.cross(basis[0], basis[1])])
+            t_world = h[:, 2] - r_world @ obj.mean(axis=0)
+        return _rodrigues_inv(r_world), t_world
+
+    if obj.shape[0] < 6:
+        return None
+    # DLT for P = [R|t] (up to scale) from x ~ P X
+    n = obj.shape[0]
+    a = np.zeros((2 * n, 12))
+    xh = np.concatenate([obj, np.ones((n, 1))], axis=1)
+    a[0::2, 0:4] = xh
+    a[0::2, 8:12] = -ideal[:, 0:1] * xh
+    a[1::2, 4:8] = xh
+    a[1::2, 8:12] = -ideal[:, 1:2] * xh
+    _, _, vt = np.linalg.svd(a)
+    p = vt[-1].reshape(3, 4)
+    m = p[:, :3]
+    scale = np.cbrt(np.linalg.det(m)) if np.linalg.det(m) != 0 else None
+    if scale is None or abs(scale) < 1e-12:
+        return None
+    p /= scale
+    r = _nearest_rotation(p[:, :3])
+    t = p[:, 3]
+    if np.median((obj @ r.T + t)[:, 2]) < 0:
+        r = _nearest_rotation(-p[:, :3])
+        t = -p[:, 3]
+    return _rodrigues_inv(r), t
+
+
+def _dlt_homography(uv: np.ndarray, ideal: np.ndarray):
+    """Plane (u, v) -> ideal image homography via DLT."""
+    n = uv.shape[0]
+    if n < 4:
+        return None
+    a = np.zeros((2 * n, 9))
+    uvh = np.concatenate([uv, np.ones((n, 1))], axis=1)
+    a[0::2, 0:3] = uvh
+    a[0::2, 6:9] = -ideal[:, 0:1] * uvh
+    a[1::2, 3:6] = uvh
+    a[1::2, 6:9] = -ideal[:, 1:2] * uvh
+    _, s, vt = np.linalg.svd(a)
+    h = vt[-1].reshape(3, 3)
+    return h / (np.sign(h[2, 2]) if h[2, 2] != 0 else 1.0)
+
+
+def _pnp_refine(obj, img_pts, project, r0, t0, iters: int = 60):
+    """Levenberg-Marquardt on the pixel reprojection residual with a
+    forward-difference Jacobian over the 6 pose parameters."""
+    params = np.concatenate([r0, t0]).astype(np.float64)
+
+    def residual(p):
+        return (project(obj, p[:3], p[3:]) - img_pts).ravel()
+
+    lam = 1e-3
+    r = residual(params)
+    cost = float(r @ r)
+    for _ in range(iters):
+        jac = np.empty((r.size, 6))
+        for j in range(6):
+            dp = np.zeros(6)
+            dp[j] = 1e-6 * max(1.0, abs(params[j]))
+            jac[:, j] = (residual(params + dp) - r) / dp[j]
+        jtj = jac.T @ jac
+        jtr = jac.T @ r
+        improved = False
+        for _ in range(10):
+            try:
+                step = np.linalg.solve(jtj + lam * np.diag(np.diag(jtj)), -jtr)
+            except np.linalg.LinAlgError:
+                lam *= 10
+                continue
+            cand = params + step
+            rc = residual(cand)
+            cc = float(rc @ rc)
+            if cc < cost:
+                params, r, cost = cand, rc, cc
+                lam = max(lam / 10, 1e-12)
+                improved = True
+                break
+            lam *= 10
+        if not improved or cost < 1e-16:
+            break
+    return params[:3], params[3:], bool(np.isfinite(cost))
 
 
 class Radial_Dist_Camera(CameraModel):

@@ -50,6 +50,76 @@ class TestCameraModel:
         np.testing.assert_allclose(rays, [[0.0, 0.0, 1.0]], atol=1e-9)
 
 
+class TestSolvePnP:
+    """Numpy solvePnP (reference gaze.py:344-374, cv2 as oracle): DLT or
+    homography init + LM refinement recovers the pose through the full
+    distortion model."""
+
+    RVEC_GT = np.array([0.2, -0.3, 0.1])
+    TVEC_GT = np.array([0.3, -0.2, 4.0])
+
+    def _cam(self):
+        return Radial_Dist_Camera("test", (1088, 1080), K, D)
+
+    def _check(self, cam, obj, atol=1e-8):
+        img = cam.projectPoints(obj, rvec=self.RVEC_GT, tvec=self.TVEC_GT)
+        ok, r, t = cam.solvePnP(obj, img)
+        assert ok
+        np.testing.assert_allclose(r.ravel(), self.RVEC_GT, atol=atol)
+        np.testing.assert_allclose(t.ravel(), self.TVEC_GT, atol=atol)
+        assert r.shape == (3, 1) and t.shape == (3, 1)  # cv2 contract
+
+    def test_general_cloud(self, rng):
+        self._check(self._cam(), rng.uniform(-1, 1, (20, 3)))
+
+    def test_planar_board(self):
+        board = np.stack(
+            np.meshgrid(np.linspace(-1, 1, 5), np.linspace(-1, 1, 4)), -1
+        ).reshape(-1, 2)
+        self._check(
+            self._cam(),
+            np.concatenate([board, np.zeros((board.shape[0], 1))], axis=1),
+        )
+
+    def test_minimal_four_points(self):
+        self._check(
+            self._cam(),
+            np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], float),
+        )
+
+    def test_matches_cv2(self, rng):
+        import cv2
+
+        cam = self._cam()
+        obj = rng.uniform(-1, 1, (15, 3))
+        img = cam.projectPoints(obj, rvec=self.RVEC_GT, tvec=self.TVEC_GT)
+        _, r_cv, t_cv = cv2.solvePnP(
+            obj.reshape(1, -1, 3), img.reshape(1, -1, 2),
+            np.asarray(K, np.float64), np.asarray(D, np.float64),
+        )
+        _, r, t = cam.solvePnP(obj, img)
+        np.testing.assert_allclose(r, r_cv, atol=1e-6)
+        np.testing.assert_allclose(t, t_cv, atol=1e-6)
+
+    def test_extrinsic_guess(self, rng):
+        cam = self._cam()
+        obj = rng.uniform(-1, 1, (12, 3))
+        img = cam.projectPoints(obj, rvec=self.RVEC_GT, tvec=self.TVEC_GT)
+        ok, r, t = cam.solvePnP(
+            obj, img, useExtrinsicGuess=True,
+            rvec=self.RVEC_GT + 0.05, tvec=self.TVEC_GT - 0.3,
+        )
+        assert ok
+        np.testing.assert_allclose(r.ravel(), self.RVEC_GT, atol=1e-8)
+
+    def test_input_validation(self):
+        cam = self._cam()
+        with pytest.raises(ValueError, match="not the same"):
+            cam.solvePnP(np.zeros((5, 3)), np.zeros((4, 2)))
+        with pytest.raises(ValueError, match="3d points"):
+            cam.solvePnP(np.zeros((5, 4)), np.zeros((5, 2)))
+
+
 class TestFixationDetection:
     def make_gaze(self, clusters, hz=200.0, noise=0.0005, seed=0):
         """clusters: list of (duration_s, x, y) dwell segments."""
