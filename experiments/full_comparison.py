@@ -433,7 +433,17 @@ def main():
     precompute = None
     emb_mode = os.getenv("USE_EMBEDDING_CACHE", "0")
     if emb_mode != "0" and MODEL_SET == "flagship" and with_video:
-        if emb_mode == "device":
+        if emb_mode == "device" and mesh is not None:
+            # per-shard device memos + global P('data') feature arrays —
+            # mesh runs keep the zero-wire steady state
+            from routeformer_tpu.models.video_backbone.cache import (
+                MeshDeviceVideoFeaturePrecomputer,
+            )
+
+            precompute = MeshDeviceVideoFeaturePrecomputer(
+                next(iter(models.values())), mesh
+            )
+        elif emb_mode == "device":
             from routeformer_tpu.models.video_backbone.cache import (
                 DeviceVideoFeaturePrecomputer,
             )

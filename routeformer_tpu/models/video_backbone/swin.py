@@ -418,6 +418,13 @@ class SwinPreset:
 
 SWIN_PRESETS = {
     "swinv2_base": SwinPreset(),
+    # 192-px training geometry of the same checkpoint family (timm
+    # swinv2_base_window12to16_192to256 trains at 192/window 12 and
+    # fine-tunes at 256/window 16): ~0.56x the pixels and a 144- vs
+    # 256-token window — the cold-step ablation lever (docs/PERF.md;
+    # round-3 VERDICT #5). Same parameter count except the CPB bias MLPs'
+    # input grids, so accuracy evidence transfers.
+    "swinv2_base_192": SwinPreset(img_size=192, window=12),
     # Exercises windowing, shifted windows, and one merge at minimum cost;
     # output (4, 4, 32) matches the old test geometry.
     "swinv2_tiny_test": SwinPreset(
@@ -447,8 +454,18 @@ class SwinV2Backbone(VideoBackboneModule):
             preset = SWIN_PRESETS[lowered]
         elif "tiny_test" in lowered:
             preset = SWIN_PRESETS["swinv2_tiny_test"]
+        elif "192" in lowered and "256" not in lowered:
+            preset = SWIN_PRESETS["swinv2_base_192"]
         else:
             preset = SWIN_PRESETS["swinv2_base"]
+        # ROUTEFORMER_SWIN_GEOMETRY=192 re-points any base-preset model at
+        # the 192-px training geometry (the ablation switch; timm names
+        # like swinv2_base_window12to16_192to256 keep selecting 256).
+        if (
+            preset is SWIN_PRESETS["swinv2_base"]
+            and os.environ.get("ROUTEFORMER_SWIN_GEOMETRY") == "192"
+        ):
+            preset = SWIN_PRESETS["swinv2_base_192"]
         self.preset = preset
         self.train_backbone = configs.train_backbone
         self.unfreeze = False

@@ -166,3 +166,90 @@ class TestMeshLoaderIntegration:
             placed.sharding, windows.ndim
         )
         np.testing.assert_array_equal(np.asarray(out["left_video"]), windows)
+
+
+class TestMeshFeatureMemo:
+    """Mesh twin of the device feature memo: per-shard memos must produce
+    features byte-identical to the single-device precomputer, as global
+    P('data')-sharded arrays, and encode nothing on warm batches."""
+
+    def _model(self, tmp_path):
+        from flax import nnx
+
+        from routeformer_tpu.models import RouteformerConfig
+        from routeformer_tpu.models.gps_backbone import GPSBackboneConfig
+        from routeformer_tpu.models.routeformer import Routeformer
+        from routeformer_tpu.models.video_backbone import (
+            SwinV2,
+            TimmBackboneConfig,
+        )
+
+        cfg = RouteformerConfig(
+            gps_backbone_config=GPSBackboneConfig(
+                seq_len=20, label_len=20, pred_len=10, d_model=16, n_heads=4,
+                e_layers=1, d_layers=1, d_ff=32, factor=4, dropout=0.0,
+                activation="relu",
+            ),
+            video_backbone_config=TimmBackboneConfig(
+                model_type="vit_tiny_test", cache_enabled=True,
+                cache_dir=str(tmp_path), cache_dtype="float32",
+                compute_dtype="float32",
+            ),
+            with_video=True, with_gaze=False,
+            discount_factor={0: 0.97}, epsilon=1.0,
+            encoder_hidden_size=16, encoder_heads=4, encoder_layers=1,
+            encoder_d_ff=32, cross_modal_decoder_heads=4,
+            cross_modal_decoder_layers=1, image_embedding_size=16,
+            output_fps=5, video_fps=1, gaze_fps=1,
+        )
+        model = Routeformer(
+            cfg, video_backbone=SwinV2,
+            rngs=nnx.Rngs(0, dropout=1),
+        )
+        model.eval()
+        return model
+
+    def test_matches_single_device_memo(self, rng, tmp_path):
+        from routeformer_tpu.models.video_backbone.cache import (
+            DeviceVideoFeaturePrecomputer,
+            MeshDeviceVideoFeaturePrecomputer,
+        )
+
+        mesh = make_mesh(n_data=4, n_model=1)
+        model = self._model(tmp_path)
+        batch = {
+            "gps": rng.normal(size=(8, 20, 2)).astype(np.float32),
+            "left_video": rng.uniform(size=(8, 20, 24, 32, 3)).astype(np.float32),
+            "right_video": rng.uniform(size=(8, 20, 24, 32, 3)).astype(np.float32),
+        }
+        single = DeviceVideoFeaturePrecomputer(model)
+        meshpre = MeshDeviceVideoFeaturePrecomputer(model, mesh)
+
+        want = single(dict(batch))
+        got = meshpre(dict(batch))
+        assert set(want) == set(got)
+        for k in got:
+            if not k.endswith("_features"):
+                continue
+            assert len(got[k].sharding.device_set) == 4, k
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(want[k]), atol=1e-5, err_msg=k
+            )
+        # warm pass: zero encodes, identical output
+        encoded = meshpre.stats()["encoded"]
+        assert encoded > 0
+        got2 = meshpre(dict(batch))
+        assert meshpre.stats()["encoded"] == encoded
+        np.testing.assert_array_equal(
+            np.asarray(got2["left_video_features"]),
+            np.asarray(got["left_video_features"]),
+        )
+
+    def test_rejects_tensor_parallel_mesh(self, tmp_path):
+        from routeformer_tpu.models.video_backbone.cache import (
+            MeshDeviceVideoFeaturePrecomputer,
+        )
+
+        mesh = make_mesh(n_data=4, n_model=2)
+        with pytest.raises(ValueError, match="data-parallel"):
+            MeshDeviceVideoFeaturePrecomputer(self._model(tmp_path), mesh)

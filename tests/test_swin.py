@@ -171,3 +171,98 @@ class TestBadGeometryGuard:
         guarded = np.asarray(model.encode_frames(feats))
         np.testing.assert_array_equal(guarded, golden)
         assert getattr(swin._flash_guard, "active", 0) == 0  # context exited
+
+
+class TestTrainingGeometryLever:
+    """The 192-px training-geometry ablation (docs/PERF.md cold-step
+    lever): the base-preset family exposes a 192/window-12 variant and the
+    fusion stack is feature-map-geometry agnostic — a full train step runs
+    at either geometry."""
+
+    def test_192_preset_shapes(self):
+        m = SwinV2Backbone(
+            tiny_cfg(model_type="swinv2_base_192"), rngs=nnx.Rngs(0)
+        )
+        assert m.preset.img_size == 192 and m.preset.window == 12
+        assert m.output_feature_shape == (6, 6, 1024)
+
+    def test_env_switch_retargets_base(self, monkeypatch):
+        monkeypatch.setenv("ROUTEFORMER_SWIN_GEOMETRY", "192")
+        m = SwinV2Backbone(
+            tiny_cfg(model_type="swinv2_base_window12to16_192to256"),
+            rngs=nnx.Rngs(0),
+        )
+        assert m.preset.img_size == 192
+        monkeypatch.delenv("ROUTEFORMER_SWIN_GEOMETRY")
+        m = SwinV2Backbone(
+            tiny_cfg(model_type="swinv2_base_window12to16_192to256"),
+            rngs=nnx.Rngs(0),
+        )
+        assert m.preset.img_size == 256
+
+    @pytest.mark.parametrize(
+        "preset", ["swinv2_tiny_test", "swinv2_parity_test"]
+    )
+    def test_train_step_runs_at_both_geometries(self, rng, preset):
+        """Tiny stand-ins for the 256/192 pair: identical model code, only
+        the backbone feature-map geometry differs ((4,4) vs (8,8) tokens);
+        the flagship fusion stack consumes both and one optimizer step
+        produces finite losses."""
+        from routeformer_tpu.models import RouteformerConfig
+        from routeformer_tpu.models.gps_backbone import (
+            GPSBackboneConfig,
+            Informer,
+        )
+        from routeformer_tpu.models.routeformer import Routeformer
+        from routeformer_tpu.optimizers import build_optimizer
+        from routeformer_tpu.parallel import make_train_step
+        from routeformer_tpu.train import (
+            TrainingLosses,
+            routeformer_training_loss,
+        )
+
+        cfg = RouteformerConfig(
+            gps_backbone_config=GPSBackboneConfig(
+                seq_len=20, label_len=20, pred_len=10, d_model=16,
+                n_heads=4, e_layers=1, d_layers=1, d_ff=32, factor=4,
+                dropout=0.0, activation="relu",
+            ),
+            video_backbone_config=tiny_cfg(model_type=preset),
+            with_video=True, with_gaze=False,
+            discount_factor={0: 0.97}, epsilon=1.0,
+            encoder_hidden_size=16, encoder_heads=4, encoder_layers=1,
+            encoder_d_ff=32, cross_modal_decoder_heads=4,
+            cross_modal_decoder_layers=1, image_embedding_size=16,
+            output_fps=5, video_fps=1, gaze_fps=1,
+        )
+        model = Routeformer(
+            cfg, gps_backbone=Informer,
+            video_backbone=SwinV2Backbone, rngs=nnx.Rngs(0, dropout=1),
+        )
+        tx = build_optimizer(
+            learning_rate=1e-4, video_backbone_lr=1e-6,
+            warmup_epochs=0, max_epochs=10, gradient_clip_val=2.5,
+        )
+        losses = TrainingLosses.from_config(cfg)
+
+        def loss_fn(m, inp, tgt, epoch):
+            return routeformer_training_loss(m, inp, tgt, epoch, losses)
+
+        step_fn, params, state, opt_state = make_train_step(
+            model, tx, loss_fn
+        )
+        vid = lambda: jnp.asarray(  # noqa: E731
+            rng.uniform(size=(2, 20, 24, 32, 3)).astype(np.float32)
+        )
+        inp = {
+            "gps": jnp.asarray(rng.normal(size=(2, 20, 2)).astype(np.float32)),
+            "left_video": vid(), "right_video": vid(),
+        }
+        tgt = {
+            "gps": jnp.asarray(rng.normal(size=(2, 10, 2)).astype(np.float32)),
+            "left_video": vid()[:, :10], "right_video": vid()[:, :10],
+        }
+        _, _, _, metrics = step_fn(
+            params, state, opt_state, inp, tgt, jnp.asarray(0)
+        )
+        assert np.isfinite(float(metrics["total_loss"]))
