@@ -170,6 +170,36 @@ class DataLoader:
 
     def _indices(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
+        if self.mesh is not None and self._frame_router is not None:
+            # fixed per-host subset (stride before shuffling, so the host's
+            # pool — and the per-shard pools below — are epoch-stable)
+            host = idx[self.process_index :: self.process_count]
+            # Shard-stable batch composition (DistributedSampler semantics,
+            # reference full_comparison.py:766-768): each sample belongs to
+            # ONE data shard permanently (position in the host subset mod
+            # n_data), and every batch is assembled as n_data contiguous
+            # per-shard row blocks. Shuffling permutes within each shard's
+            # pool only — so the per-device frame-store rings stay disjoint
+            # and a shuffled epoch never re-ships a frame to a different
+            # device (without this, row->shard assignment followed batch
+            # position and warm epochs re-shipped on reassignment).
+            n_data = self._frame_router.n_data
+            rows = self.batch_size // n_data
+            if rows == 0:
+                raise ValueError(
+                    f"batch_size {self.batch_size} < data-parallel degree "
+                    f"{n_data}"
+                )
+            parts = [host[d::n_data].copy() for d in range(n_data)]
+            if self.shuffle:
+                rng = np.random.default_rng(self.seed + self._epoch)
+                for p in parts:
+                    rng.shuffle(p)
+            n_batches = min(len(p) for p in parts) // rows
+            out = np.empty((n_batches, n_data, rows), idx.dtype)
+            for d, p in enumerate(parts):
+                out[:, d] = p[: n_batches * rows].reshape(n_batches, rows)
+            return out.reshape(-1)
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(idx)

@@ -129,8 +129,11 @@ class TestMeshLoaderIntegration:
         batch = batches[0]
         video = batch["train"]["left_video"]
         assert isinstance(video, jax.Array) and len(video.sharding.device_set) == 4
-        # byte-identical to host collation
-        host = default_collate([self._dataset()[i] for i in range(8)])
+        # byte-identical to host collation of the SAME batch composition
+        # (shard-stable ordering interleaves per-shard pools: batch 0 is
+        # [0,4, 1,5, 2,6, 3,7], not [0..7])
+        order = [int(i) for i in loader._indices()[:8]]
+        host = default_collate([self._dataset()[i] for i in order])
         np.testing.assert_array_equal(
             np.asarray(video), host["train"]["left_video"]
         )
@@ -145,6 +148,45 @@ class TestMeshLoaderIntegration:
         after = loader._frame_router.stats()
         for k in before:
             assert after[k]["shipped"] == before[k]["shipped"]
+
+    def test_shuffled_epochs_stay_shard_stable(self):
+        """Shard-stable batch composition (DistributedSampler semantics):
+        a sample's data shard never changes across shuffled epochs, so the
+        per-device rings stay disjoint — epoch 2+ ships ZERO frames even
+        with shuffle=True."""
+        from routeformer_tpu.io.loader import DataLoader
+
+        mesh = make_mesh(n_data=4, n_model=1)
+        loader = DataLoader(
+            self._dataset(), batch_size=8, shuffle=True, num_threads=2,
+            to_device=True, h2d_dedup=True, mesh=mesh,
+        )
+        loader.set_epoch(0)
+        batches0 = list(loader)
+        shipped_cold = {
+            k: v["shipped"] for k, v in loader._frame_router.stats().items()
+        }
+        for epoch in (1, 2):
+            loader.set_epoch(epoch)
+            got = list(loader)
+            assert len(got) == len(batches0)
+        shipped_warm = {
+            k: v["shipped"] for k, v in loader._frame_router.stats().items()
+        }
+        assert shipped_warm == shipped_cold, (
+            f"shuffled warm epochs re-shipped: {shipped_cold} -> "
+            f"{shipped_warm}"
+        )
+        # shuffle actually shuffles: epoch orders differ
+        loader2 = DataLoader(
+            self._dataset(), batch_size=8, shuffle=True, num_threads=2,
+            to_device=True, h2d_dedup=True, mesh=mesh,
+        )
+        loader2.set_epoch(0)
+        o0 = loader2._indices().tolist()
+        loader2.set_epoch(1)
+        o1 = loader2._indices().tolist()
+        assert o0 != o1 and sorted(o0) == sorted(o1)
 
     def test_trainer_place_batch_is_noop_on_global_arrays(self, rng):
         """trainer._place_batch must pass loader-sharded arrays through
