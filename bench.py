@@ -114,6 +114,7 @@ def wait_for_tpu(min_budget_after: float) -> bool:
     the remaining deadline can no longer fit ``min_budget_after`` of real
     work after a successful probe."""
     attempt = 0
+    wait_t0 = time.time()
     while _remaining() > min_budget_after + PROBE_BACKOFF_S:
         attempt += 1
         t = time.time()
@@ -121,7 +122,7 @@ def wait_for_tpu(min_budget_after: float) -> bool:
         if got:
             RESULT["device_kind"] = got.get("device_kind")
             if attempt > 1:
-                RESULT["tpu_wait_s"] = round(time.time() - T0, 1)
+                RESULT["tpu_wait_s"] = round(time.time() - wait_t0, 1)
             return True
         print(
             f"TPU probe {attempt} failed after {time.time() - t:.0f}s; "

@@ -386,12 +386,18 @@ def main():
         and MODEL_SET == "flagship"
         and with_video
     )
+    if emb_cache_on:
+        # Cached runs consume frozen precomputed features: the epoch-10
+        # unfreeze cannot apply (the trainer rejects the combination), so
+        # the backbone stays frozen for the whole run.
+        print(
+            "USE_EMBEDDING_CACHE active: video backbones stay frozen for "
+            "the entire run (epoch-10 unfreeze disabled)"
+        )
     trainer = ParallelTrainer(
         models, tx, ROUTEFORMER_CONFIG, quartiles=QUARTILES, mesh=mesh,
-        # With an embedding cache the step consumes frozen precomputed
-        # features; the trainer rejects the epoch-10 unfreeze boundary
-        # rather than silently training a backbone the cache bypasses.
         feature_cache_active=emb_cache_on,
+        unfreeze_epoch=None if emb_cache_on else 10,
     )
     ckpt = CheckpointManager(RESULTS_DIR / "checkpoints")
     metrics_logger = MetricsLogger(

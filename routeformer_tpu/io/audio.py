@@ -159,9 +159,10 @@ def _read_audio_pure(path, start_sec: float, end_sec: float):
     rate = track.timescale  # PCM-in-MP4: media timescale == sample rate
 
     # Chunk-granularity window, mirroring ffmpeg's mov demuxer (one packet
-    # per PCM chunk): chunk pts = its first sample index.
-    offsets = track.sample_offsets()  # (offset, size) per PCM frame
-    if not offsets:
+    # per PCM chunk): chunk pts = its first sample index. (Do NOT resolve
+    # per-sample offsets here — a real-length PCM track has tens of
+    # millions of samples and the chunk loop below needs only stsc/stco.)
+    if track.n_samples == 0 or not track.chunk_offsets:
         logger.warning("no audio samples in %s", path)
         return dict(_EMPTY)
     chunks = []  # (first_sample_idx, file_offset, n_frames)

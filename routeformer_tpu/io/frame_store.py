@@ -204,6 +204,25 @@ class DeviceFrameStore:
         return out.reshape((b, t, *self.frame_shape))
 
 
+def _store_capacity(
+    windows: np.ndarray, budget_bytes: float, n_streams_hint: int, label: str
+) -> int:
+    """Ring capacity for one stream's store under a per-device byte budget
+    split across the expected streams — never below two batches' worth of
+    frames (shared by both routers so their sizing cannot diverge)."""
+    frame_bytes = int(np.prod(windows.shape[2:]) * windows.dtype.itemsize)
+    per_stream = budget_bytes / n_streams_hint
+    capacity = int(per_stream // max(frame_bytes, 1))
+    min_cap = 2 * windows.shape[0] * windows.shape[1]
+    if capacity < min_cap:
+        logger.info(
+            "frame store %s: budget %.0f MB < 2 batches; raising capacity "
+            "to %d frames", label, per_stream / 1e6, min_cap,
+        )
+        capacity = min_cap
+    return capacity
+
+
 class FrameStoreRouter:
     """Per-(key, shape, dtype) stores under one byte budget.
 
@@ -223,20 +242,9 @@ class FrameStoreRouter:
         key = (name, windows.shape[2:], np.dtype(windows.dtype).str)
         store = self._stores.get(key)
         if store is None:
-            frame_bytes = int(
-                np.prod(windows.shape[2:]) * windows.dtype.itemsize
+            capacity = _store_capacity(
+                windows, self.budget_bytes, self.n_streams_hint, name
             )
-            per_stream = self.budget_bytes / self.n_streams_hint
-            capacity = int(per_stream // max(frame_bytes, 1))
-            # always able to hold at least two batches' worth of frames
-            min_cap = 2 * windows.shape[0] * windows.shape[1]
-            if capacity < min_cap:
-                logger.info(
-                    "frame store %s: budget %.0f MB < 2 batches; "
-                    "raising capacity to %d frames",
-                    name, per_stream / 1e6, min_cap,
-                )
-                capacity = min_cap
             store = DeviceFrameStore(
                 windows.shape[2:], windows.dtype, capacity
             )
@@ -294,17 +302,10 @@ class MeshFrameStoreRouter:
         key = (name, chunk.shape[2:], np.dtype(chunk.dtype).str, d, m)
         store = self._stores.get(key)
         if store is None:
-            frame_bytes = int(np.prod(chunk.shape[2:]) * chunk.dtype.itemsize)
-            per_stream = self.budget_bytes / self.n_streams_hint
-            capacity = int(per_stream // max(frame_bytes, 1))
-            min_cap = 2 * chunk.shape[0] * chunk.shape[1]
-            if capacity < min_cap:
-                logger.info(
-                    "mesh frame store %s[d%d,m%d]: budget %.0f MB < 2 "
-                    "shard-batches; raising capacity to %d frames",
-                    name, d, m, per_stream / 1e6, min_cap,
-                )
-                capacity = min_cap
+            capacity = _store_capacity(
+                chunk, self.budget_bytes, self.n_streams_hint,
+                f"{name}[d{d},m{m}]",
+            )
             store = DeviceFrameStore(
                 chunk.shape[2:], chunk.dtype, capacity,
                 device=self.device_grid[d, m],

@@ -258,7 +258,6 @@ def _pnp_initialize(obj: np.ndarray, ideal: np.ndarray):
         t = h[:, 2]
         # plane frame -> world frame: X_cam = R_p (u,v,0) + t with
         # (u,v) = basis (X - mean) => R_world = R_p[:, :2] @ basis
-        r_world = np.eye(3)
         r_world = r_cols @ np.vstack([basis, np.cross(basis[0], basis[1])])
         t_world = t - r_world @ obj.mean(axis=0)
         if np.median((obj @ r_world.T + t_world)[:, 2]) < 0:

@@ -203,22 +203,39 @@ class ImageStitcher:
         (the explicit gate)."""
         pts_r, pts_l = _match_orb(right, left)
         H = None
-        if len(pts_r) >= self.MIN_CORRESPONDENCES:
+        sparse_h = None
+        if len(pts_r) >= 4:
             try:
-                cand, mask = self.homography.estimate(pts_r, pts_l)
+                sparse_h, mask = self.homography.estimate(pts_r, pts_l)
                 n_inliers = int(mask.sum()) if mask is not None else 0
-                if n_inliers >= self.MIN_INLIERS:
-                    H = cand
+                if (
+                    len(pts_r) >= self.MIN_CORRESPONDENCES
+                    and n_inliers >= self.MIN_INLIERS
+                ):
+                    H = sparse_h
                     self.last_method = "orb"
             except ValueError:
-                pass
+                sparse_h = None
         if H is None:
             logger.info(
                 "sparse matching degraded (%d correspondences); using the "
                 "dense NCC patch-match fallback", len(pts_r),
             )
-            H, _ = _dense_match_homography(left, right)
-            self.last_method = "dense"
+            try:
+                H, _ = _dense_match_homography(left, right)
+                self.last_method = "dense"
+            except ValueError:
+                if sparse_h is None:
+                    raise
+                # degraded but usable sparse estimate (e.g. frames too
+                # small for the dense patch grid): best-effort, as before
+                # the gate existed
+                logger.warning(
+                    "dense fallback gated too; keeping the degraded sparse "
+                    "homography (%d correspondences)", len(pts_r),
+                )
+                H = sparse_h
+                self.last_method = "orb-degraded"
         self._cached_h = H
         return H
 

@@ -242,7 +242,7 @@ class DeviceCachedBackbone:
         capacity = max(int(capacity_bytes // feat_bytes), 256)
         self._ring = ContentRing(capacity, owner="DeviceCachedBackbone")
         self._fstore = self._put(
-            jnp.zeros((capacity, *self.feature_shape), dtype=self.dtype)
+            np.zeros((capacity, *self.feature_shape), dtype=self.dtype)
         )
         # one encode-program signature per frame geometry: calls pad to the
         # largest size seen (train/target phase sizes differ), so the
@@ -253,8 +253,23 @@ class DeviceCachedBackbone:
         self.frames_encoded = 0
 
         graphdef, state = nnx.split(backbone)
-        # deep-copy the frozen state: train steps donate live model buffers
-        self._state = jax.tree.map(lambda x: self._put(jnp.array(x)), state)
+
+        def copy_leaf(x):
+            # Deep-copy the frozen state: train steps donate live model
+            # buffers. For a pinned memo, device_put to a DIFFERENT device
+            # is already a true copy with no default-device hop; only
+            # leaves already living on the target (and the unpinned case)
+            # need the explicit jnp.array copy.
+            on_target = (
+                self.device is not None
+                and hasattr(x, "devices")
+                and x.devices() == {self.device}
+            )
+            if self.device is not None and not on_target:
+                return jax.device_put(x, self.device)
+            return self._put(jnp.array(x))
+
+        self._state = jax.tree.map(copy_leaf, state)
         dtype = self.dtype
 
         def encode_scatter(fstore, state, frames, slots):

@@ -101,12 +101,21 @@ class ParallelTrainer:
         # (TimmBackbone.py:123: requires_grad_(current_epoch > 10));
         # None disables the unfreeze entirely.
         self.unfreeze_epoch = unfreeze_epoch
-        # Set by the driver when a feature precomputer / embedding cache
-        # serves frozen-backbone features: unfreezing then would train a
-        # backbone whose outputs the step never sees (the cache keeps
-        # serving the construction-time snapshot) — reject at the boundary
-        # instead of silently diverging from non-cache runs.
+        # An active feature precomputer / embedding cache serves frozen
+        # construction-time features: unfreezing would train a backbone
+        # whose outputs the step never sees. Fail FAST here — not at the
+        # epoch boundary, which would kill a long cached run after ~10
+        # epochs of compute and wedge resume (restore lands back on the
+        # boundary). Callers must pass unfreeze_epoch=None for cached runs.
         self.feature_cache_active = feature_cache_active
+        if feature_cache_active and unfreeze_epoch is not None:
+            raise ValueError(
+                "feature_cache_active with unfreeze_epoch="
+                f"{unfreeze_epoch}: cached runs keep serving frozen "
+                "construction-time features past the unfreeze boundary and "
+                "would silently diverge. Pass unfreeze_epoch=None (train "
+                "fully frozen) or disable the embedding cache."
+            )
         self._unfrozen = False
 
         self.graphdefs = {}
@@ -237,11 +246,13 @@ class ParallelTrainer:
         ``self.Backbone.requires_grad_(self.current_epoch > 10)``).
 
         Flipping ``unfreeze`` on the backbone modules removes their
-        ``stop_gradient`` and arms the train-time photometric augs; the
-        changed graphdef forces a ONE-TIME recompile of the train/eval
-        programs at the boundary (the alternative — a traced-epoch grad
-        mask — would keep one program but pay the full backbone backward
-        on every pre-10 step). The 1e-6 video-backbone optimizer group
+        ``stop_gradient`` (photometric augs stay gated on
+        ``train_backbone`` only, matching reference TimmBackbone.py:174-175
+        — an unfreeze-only run never augments); the changed graphdef
+        forces a ONE-TIME recompile of the train/eval programs at the
+        boundary (the alternative — a traced-epoch grad mask — would keep
+        one program but pay the full backbone backward on every pre-10
+        step). The 1e-6 video-backbone optimizer group
         (optimizers/optimizer.py, reference full_comparison.py:697-699)
         engages automatically once gradients flow."""
         if self.unfreeze_epoch is None:

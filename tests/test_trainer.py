@@ -430,6 +430,23 @@ class TestEpoch10Unfreeze:
         assert merged.video_backbone.unfreeze is True
         assert merged.aux_inverseform.unfreeze is False
 
+    def test_feature_cache_with_unfreeze_fails_fast_at_construction(self):
+        """The incompatibility must surface at construction, not after ~10
+        epochs of compute at the boundary (where restore would wedge)."""
+        trainer, _ = self._make()  # reuse the built models via its config
+        with pytest.raises(ValueError, match="unfreeze_epoch"):
+            ParallelTrainer(
+                {
+                    "flagship": nnx.merge(
+                        trainer.graphdefs["flagship"],
+                        trainer.params["flagship"],
+                        trainer.states["flagship"],
+                    )
+                },
+                trainer.tx, trainer.config,
+                feature_cache_active=True,  # default unfreeze_epoch=10
+            )
+
     def test_unfreeze_with_feature_cache_raises(self):
         """An active embedding cache serves frozen construction-time
         features; crossing the unfreeze boundary must fail loudly instead
