@@ -398,6 +398,10 @@ def main():
         models, tx, ROUTEFORMER_CONFIG, quartiles=QUARTILES, mesh=mesh,
         feature_cache_active=emb_cache_on,
         unfreeze_epoch=None if emb_cache_on else 10,
+        # FSDP=1: shard large params + optimizer slots over the data axis
+        # (ZeRO-3 memory regime) — same math, ~n_data-fold lower per-chip
+        # param/optimizer HBM on eligible tensors
+        fsdp=os.getenv("FSDP", "0") == "1",
     )
     ckpt = CheckpointManager(RESULTS_DIR / "checkpoints")
     metrics_logger = MetricsLogger(

@@ -58,17 +58,42 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(put, batch)
 
 
-def param_spec(x, n_model: int, min_shard_dim: int = 512) -> P:
-    """Structural tensor-parallel rule for one parameter."""
-    if n_model <= 1 or x.ndim < 2:
+def param_spec(
+    x, n_model: int, min_shard_dim: int = 512, n_data_fsdp: int = 1
+) -> P:
+    """Structural sharding rule for one parameter.
+
+    Tensor parallelism: the largest dim, when divisible by ``n_model`` and
+    at least ``min_shard_dim``, shards over the ``model`` axis.
+
+    FSDP (``n_data_fsdp > 1``): parameters additionally shard over the
+    ``data`` axis — the fully-sharded-data-parallel / ZeRO-3 memory
+    regime, where each data rank stores 1/n of every large parameter and
+    optimizer slot, and GSPMD inserts the forward/backward all-gathers and
+    the gradient reduce-scatter. The data axis takes the largest eligible
+    dim NOT already claimed by the model axis (divisible by
+    ``n_data_fsdp`` and at least ``min_shard_dim``); with no second
+    eligible dim the parameter stays replicated over ``data``.
+    """
+    if x.ndim < 2:
         return P()
     dims = list(x.shape)
-    largest = int(np.argmax(dims))
-    if dims[largest] % n_model == 0 and dims[largest] >= min_shard_dim:
-        spec = [None] * x.ndim
-        spec[largest] = MODEL_AXIS
-        return P(*spec)
-    return P()
+    order = list(np.argsort(dims)[::-1])
+    spec = [None] * x.ndim
+    if n_model > 1:
+        largest = order[0]
+        if dims[largest] % n_model == 0 and dims[largest] >= min_shard_dim:
+            spec[largest] = MODEL_AXIS
+    if n_data_fsdp > 1:
+        for d in order:
+            if spec[d] is not None:
+                continue
+            if dims[d] % n_data_fsdp == 0 and dims[d] >= min_shard_dim:
+                spec[d] = DATA_AXIS
+                break
+    if all(s is None for s in spec):
+        return P()
+    return P(*spec)
 
 
 def shard_params(params, mesh: Mesh, min_shard_dim: int = 512):

@@ -34,6 +34,7 @@ def make_train_step(
     loss_fn: Callable,
     mesh: Optional[Mesh] = None,
     min_shard_dim: int = 512,
+    fsdp: bool = False,
 ):
     """Build ``(step_fn, params, state, opt_state)`` for a model.
 
@@ -42,6 +43,12 @@ def make_train_step(
     The returned ``step_fn(params, state, opt_state, input_batch,
     target_batch, epoch)`` returns ``(params, state, opt_state, metrics)``
     and is jitted; with a mesh, inputs/outputs carry NamedShardings.
+
+    ``fsdp=True`` additionally shards large parameters and their optimizer
+    slots over the ``data`` axis (ZeRO-3 memory regime): per-rank HBM for
+    params/optimizer drops ~n_data-fold on eligible tensors, at the cost
+    of GSPMD-inserted all-gathers in forward/backward and a gradient
+    reduce-scatter — identical math to plain DP.
     """
     model.train()
     graphdef, params, state = nnx.split(model, nnx.Param, ...)
@@ -73,18 +80,18 @@ def make_train_step(
     if mesh is None:
         return jax.jit(step, donate_argnums=(0, 1, 2)), params, state, opt_state
 
-    # Shardings: params per TP rule, state/opt-state mirroring params where
-    # shaped alike, batch over data axis, epoch replicated.
+    # Shardings: params per TP (+optional FSDP) rule, state/opt-state
+    # mirroring params where shaped alike, batch over data axis, epoch
+    # replicated.
     n_model = mesh.shape.get("model", 1)
-    p_shard = jax.tree.map(
-        lambda x: NamedSharding(mesh, param_spec(x, n_model, min_shard_dim)), params
+    n_data_fsdp = mesh.shape.get(DATA_AXIS, 1) if fsdp else 1
+    spec_of = lambda x: NamedSharding(  # noqa: E731
+        mesh, param_spec(x, n_model, min_shard_dim, n_data_fsdp=n_data_fsdp)
     )
+    p_shard = jax.tree.map(spec_of, params)
     replicated = NamedSharding(mesh, P())
     s_shard = jax.tree.map(lambda x: replicated, state)
-    o_shard = jax.tree.map(
-        lambda x: NamedSharding(mesh, param_spec(x, n_model, min_shard_dim)),
-        opt_state,
-    )
+    o_shard = jax.tree.map(spec_of, opt_state)
     b_spec = _batch_sharding(mesh)
 
     params = jax.tree.map(jax.device_put, params, p_shard)

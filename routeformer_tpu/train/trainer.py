@@ -88,6 +88,7 @@ class ParallelTrainer:
         min_shard_dim: int = 512,
         unfreeze_epoch: Optional[int] = 10,
         feature_cache_active: bool = False,
+        fsdp: bool = False,
     ):
         self.model_names = list(models.keys())
         self.config = config
@@ -132,11 +133,22 @@ class ParallelTrainer:
 
         self._shardings = None
         if mesh is not None:
-            from routeformer_tpu.parallel.mesh import MODEL_AXIS, param_spec
+            from routeformer_tpu.parallel.mesh import (
+                DATA_AXIS,
+                MODEL_AXIS,
+                param_spec,
+            )
 
             n_model = mesh.shape.get(MODEL_AXIS, 1)
+            # fsdp: large params + optimizer slots shard over the data
+            # axis too (ZeRO-3 memory regime; GSPMD inserts the
+            # all-gathers/reduce-scatters — identical math to plain DP)
+            n_data_fsdp = mesh.shape.get(DATA_AXIS, 1) if fsdp else 1
             to_p = lambda x: NamedSharding(  # noqa: E731
-                mesh, param_spec(x, n_model, min_shard_dim)
+                mesh,
+                param_spec(
+                    x, n_model, min_shard_dim, n_data_fsdp=n_data_fsdp
+                ),
             )
             replicated = NamedSharding(mesh, P())
             p_shard = jax.tree.map(to_p, self.params)
