@@ -11,7 +11,10 @@ TPU-first replacement for the reference's NCCL/DDP wiring (reference
 Sharding rules are structural: any 2-D+ parameter whose largest dim is
 divisible by the model-axis size and at least ``min_shard_dim`` is sharded
 along that dim; everything else is replicated. This keeps the rule robust
-across the whole model zoo without per-layer annotations.
+across the whole model zoo without per-layer annotations. With FSDP
+(``n_data_fsdp > 1``) the largest remaining eligible dim additionally
+shards over the ``data`` axis — the ZeRO-3 memory regime (params and
+optimizer slots stored 1/n per data rank; GSPMD inserts the gathers).
 """
 
 from typing import Optional, Sequence
@@ -78,7 +81,10 @@ def param_spec(
     if x.ndim < 2:
         return P()
     dims = list(x.shape)
-    order = list(np.argsort(dims)[::-1])
+    # stable tie-break (lowest index first, matching the original argmax
+    # rule): a flipped dim on square matrices would churn every saved
+    # sharding layout and miss the persistent compile cache for nothing
+    order = sorted(range(x.ndim), key=lambda i: (-dims[i], i))
     spec = [None] * x.ndim
     if n_model > 1:
         largest = order[0]
@@ -96,20 +102,27 @@ def param_spec(
     return P(*spec)
 
 
-def shard_params(params, mesh: Mesh, min_shard_dim: int = 512):
-    """Device-put a parameter pytree: TP-shard large matrices, replicate rest."""
-    n_model = mesh.shape[MODEL_AXIS]
-
-    def put(x):
-        spec = param_spec(x, n_model, min_shard_dim)
-        return jax.device_put(x, NamedSharding(mesh, spec))
-
-    return jax.tree.map(put, params)
+def shard_params(params, mesh: Mesh, min_shard_dim: int = 512, fsdp: bool = False):
+    """Device-put a parameter pytree: TP-shard large matrices (+FSDP over
+    the data axis when requested), replicate the rest."""
+    shardings = param_shardings(params, mesh, min_shard_dim, fsdp=fsdp)
+    return jax.tree.map(jax.device_put, params, shardings)
 
 
-def param_shardings(params, mesh: Mesh, min_shard_dim: int = 512):
-    """NamedSharding pytree matching :func:`shard_params` (for jit in_shardings)."""
-    n_model = mesh.shape[MODEL_AXIS]
+def param_shardings(
+    params, mesh: Mesh, min_shard_dim: int = 512, fsdp: bool = False
+):
+    """NamedSharding pytree of the structural rule (for jit in_shardings).
+
+    The ONE place the rule is applied to a tree — ``make_train_step`` and
+    ``ParallelTrainer`` both go through here so the FSDP/TP layout cannot
+    diverge between call sites."""
+    n_model = mesh.shape.get(MODEL_AXIS, 1)
+    n_data_fsdp = mesh.shape.get(DATA_AXIS, 1) if fsdp else 1
     return jax.tree.map(
-        lambda x: NamedSharding(mesh, param_spec(x, n_model, min_shard_dim)), params
+        lambda x: NamedSharding(
+            mesh,
+            param_spec(x, n_model, min_shard_dim, n_data_fsdp=n_data_fsdp),
+        ),
+        params,
     )

@@ -18,7 +18,7 @@ import optax
 from flax import nnx
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from routeformer_tpu.parallel.mesh import DATA_AXIS, param_spec
+from routeformer_tpu.parallel.mesh import DATA_AXIS, param_shardings
 
 
 def _batch_sharding(mesh: Mesh):
@@ -83,15 +83,10 @@ def make_train_step(
     # Shardings: params per TP (+optional FSDP) rule, state/opt-state
     # mirroring params where shaped alike, batch over data axis, epoch
     # replicated.
-    n_model = mesh.shape.get("model", 1)
-    n_data_fsdp = mesh.shape.get(DATA_AXIS, 1) if fsdp else 1
-    spec_of = lambda x: NamedSharding(  # noqa: E731
-        mesh, param_spec(x, n_model, min_shard_dim, n_data_fsdp=n_data_fsdp)
-    )
-    p_shard = jax.tree.map(spec_of, params)
+    p_shard = param_shardings(params, mesh, min_shard_dim, fsdp=fsdp)
     replicated = NamedSharding(mesh, P())
     s_shard = jax.tree.map(lambda x: replicated, state)
-    o_shard = jax.tree.map(spec_of, opt_state)
+    o_shard = param_shardings(opt_state, mesh, min_shard_dim, fsdp=fsdp)
     b_spec = _batch_sharding(mesh)
 
     params = jax.tree.map(jax.device_put, params, p_shard)

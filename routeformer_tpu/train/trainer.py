@@ -133,27 +133,20 @@ class ParallelTrainer:
 
         self._shardings = None
         if mesh is not None:
-            from routeformer_tpu.parallel.mesh import (
-                DATA_AXIS,
-                MODEL_AXIS,
-                param_spec,
-            )
+            from routeformer_tpu.parallel.mesh import param_shardings
 
-            n_model = mesh.shape.get(MODEL_AXIS, 1)
             # fsdp: large params + optimizer slots shard over the data
             # axis too (ZeRO-3 memory regime; GSPMD inserts the
-            # all-gathers/reduce-scatters — identical math to plain DP)
-            n_data_fsdp = mesh.shape.get(DATA_AXIS, 1) if fsdp else 1
-            to_p = lambda x: NamedSharding(  # noqa: E731
-                mesh,
-                param_spec(
-                    x, n_model, min_shard_dim, n_data_fsdp=n_data_fsdp
-                ),
-            )
+            # all-gathers/reduce-scatters — identical math to plain DP).
+            # param_shardings is the single source of the structural rule.
             replicated = NamedSharding(mesh, P())
-            p_shard = jax.tree.map(to_p, self.params)
+            p_shard = param_shardings(
+                self.params, mesh, min_shard_dim, fsdp=fsdp
+            )
             s_shard = jax.tree.map(lambda x: replicated, self.states)
-            o_shard = jax.tree.map(to_p, self.opt_state)
+            o_shard = param_shardings(
+                self.opt_state, mesh, min_shard_dim, fsdp=fsdp
+            )
             self.params = jax.tree.map(jax.device_put, self.params, p_shard)
             self.states = jax.tree.map(jax.device_put, self.states, s_shard)
             self.opt_state = jax.tree.map(
