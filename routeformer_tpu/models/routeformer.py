@@ -75,6 +75,14 @@ class Routeformer(nnx.Module):
                 "Current gaze backbone requires a video backbone, "
                 "but video backbone is not provided."
             )
+        if self.with_video and not (self.with_scene or self.with_gaze):
+            # without this, preprocess_batch would hit an IndexError on the
+            # empty visual-feature list deep in the first forward (the
+            # reference crashes the same way; reject the config up front)
+            raise ValueError(
+                "with_video requires at least one visual stream: enable "
+                "with_scene and/or with_gaze"
+            )
 
         if self.with_video:
             self.video_backbone = video_backbone(
@@ -214,8 +222,16 @@ class Routeformer(nnx.Module):
                     model = nnx.merge(graphdef, mstate)
                     output, _ = model._forward(md, vf)
                     fmv, fgps, fvf = model.postprocess_batch(last_gps, output)
-                    md = jnp.concatenate([md[:, step:], fmv], axis=1)
-                    vf = jnp.concatenate([vf[:, step:], fvf], axis=1)
+                    # explicit carry-dtype casts (reference .to(data_dtype),
+                    # routeformer.py:181-187): lax.scan requires exact carry
+                    # dtypes, which must not depend on which interfaces
+                    # happen to emit f32 under compute_dtype=bfloat16
+                    md = jnp.concatenate(
+                        [md[:, step:], fmv.astype(md.dtype)], axis=1
+                    )
+                    vf = jnp.concatenate(
+                        [vf[:, step:], fvf.astype(vf.dtype)], axis=1
+                    )
                     mstate = nnx.state(model)
                     return (md, fgps[:, -1:, :], vf, mstate), (fgps, fvf)
 
@@ -233,7 +249,9 @@ class Routeformer(nnx.Module):
                     model = nnx.merge(graphdef, mstate)
                     output, _ = model._forward(md, None)
                     fmv, fgps, _ = model.postprocess_batch(last_gps, output)
-                    md = jnp.concatenate([md[:, step:], fmv], axis=1)
+                    md = jnp.concatenate(
+                        [md[:, step:], fmv.astype(md.dtype)], axis=1
+                    )
                     mstate = nnx.state(model)
                     return (md, fgps[:, -1:, :], mstate), fgps
 
@@ -465,7 +483,12 @@ class Routeformer(nnx.Module):
             drop_right = jnp.asarray(not has_right)
 
         relative_fps = self.configs.output_fps // self.configs.video_fps
-        assert relative_fps > 0, "Video FPS must be a divisor of the output FPS"
+        # enforce what the message says (the reference only checks > 0, so
+        # a non-divisor config would silently misalign the frame timeline)
+        assert (
+            relative_fps > 0
+            and self.configs.output_fps % self.configs.video_fps == 0
+        ), "Video FPS must be a divisor of the output FPS"
         original_video_length = left.shape[1]
         video_indices = _fps_subsample_indices(original_video_length, relative_fps)
         left = left[:, video_indices]
@@ -488,7 +511,10 @@ class Routeformer(nnx.Module):
         precomputed = "front_video_features" in batch
         video = batch["front_video_features"] if precomputed else batch["front_video"]
         relative_fps = self.configs.output_fps // self.configs.gaze_fps
-        assert relative_fps > 0, "Gaze FPS must be a divisor of the output FPS"
+        assert (
+            relative_fps > 0
+            and self.configs.output_fps % self.configs.gaze_fps == 0
+        ), "Gaze FPS must be a divisor of the output FPS"
         original_video_length = video.shape[1]
         video_indices = _fps_subsample_indices(original_video_length, relative_fps)
         video = video[:, video_indices]

@@ -157,6 +157,7 @@ class ParallelTrainer:
         self._train_step = None
         self._apply_step = None
         self._eval_steps = {}
+        self._zero_grads: Dict[str, object] = {}
         self.epoch = 0
 
     def _place_batch(self, batch):
@@ -168,7 +169,10 @@ class ParallelTrainer:
 
         def put(x):
             x = jnp.asarray(x)
-            spec = P(DATA_AXIS, *([None] * (max(x.ndim, 1) - 1)))
+            # scalars replicate (P(DATA_AXIS) is invalid for rank 0)
+            spec = (
+                P(DATA_AXIS, *([None] * (x.ndim - 1))) if x.ndim >= 1 else P()
+            )
             return jax.device_put(x, NamedSharding(self.mesh, spec))
 
         return jax.tree.map(put, batch)
@@ -232,8 +236,25 @@ class ParallelTrainer:
         full_comparison.py:470-531 + Lightning grad-clip 2.5 :829-830)."""
         tx = self.tx
 
+        baseline_names = frozenset(
+            n for n in self.model_names if "baseline" in n
+        )
+
         def apply_step(params, grads, opt_state):
             updates, new_opt = tx.update(grads, opt_state, params)
+            # Baselines are excluded from optimization in the reference
+            # (full_comparison.py:470-531 never materializes their grads);
+            # zeroing their UPDATES (not just grads) keeps AdamW's
+            # decoupled weight decay from shrinking any parameters a
+            # baseline might carry.
+            updates = {
+                n: (
+                    jax.tree.map(jnp.zeros_like, u)
+                    if n in baseline_names
+                    else u
+                )
+                for n, u in updates.items()
+            }
             return optax.apply_updates(params, updates), new_opt
 
         if self._shardings is not None:
@@ -265,6 +286,9 @@ class ParallelTrainer:
         want = self.epoch > self.unfreeze_epoch
         if want == self._unfrozen:
             return
+        # Normally unreachable (the constructor rejects the combination);
+        # kept as a safety net for post-construction mutation of
+        # feature_cache_active (e.g. a driver enabling a cache mid-run).
         if want and self.feature_cache_active:
             raise RuntimeError(
                 f"epoch {self.epoch}: video-backbone unfreeze crossed while "
@@ -328,8 +352,15 @@ class ParallelTrainer:
         total = 0.0
         for name in self.model_names:
             if "baseline" in name:
-                # Baseline models have no loss -> zero grads for optax.
-                grads[name] = jax.tree.map(jnp.zeros_like, self.params[name])
+                # Baseline models have no loss -> zero grads for optax
+                # (their UPDATES are also zeroed in the apply step so
+                # weight decay never touches them). Cached: grads are not
+                # donated, so one zero tree serves every step.
+                if name not in self._zero_grads:
+                    self._zero_grads[name] = jax.tree.map(
+                        jnp.zeros_like, self.params[name]
+                    )
+                grads[name] = self._zero_grads[name]
                 continue
             g, self.states[name], loss, m_metrics = self._train_step[name](
                 self.params[name], self.states[name], inp, tgt, epoch
@@ -470,4 +501,9 @@ class ParallelTrainer:
                 history.append(val_metrics)
                 if on_metrics:
                     on_metrics("val", epoch, 0, val_metrics)
+            # advance PAST the trained epoch: a second fit() continues from
+            # the next one instead of re-training the last (and repeated
+            # fit(epochs=1) calls actually progress the epoch-dependent
+            # schedule — discount, dense-loss activation, unfreeze)
+            self.epoch = epoch + 1
         return history
