@@ -18,7 +18,7 @@ to keep the compiled program small.
 
 import math
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as dc_replace
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -466,6 +466,36 @@ class SwinV2Backbone(VideoBackboneModule):
             and os.environ.get("ROUTEFORMER_SWIN_GEOMETRY") == "192"
         ):
             preset = SWIN_PRESETS["swinv2_base_192"]
+        # ROUTEFORMER_SWIN_HEADS=<head_dim> repacks every stage's attention
+        # into fewer, wider heads (base d=32 -> e.g. d=64: heads
+        # (4,8,16,32) -> (2,4,8,16)). qkv/proj widths are unchanged — only
+        # the per-head split, the CPB-MLP output width, and the per-head
+        # logit scales change — so FLOPs are identical but the MXU
+        # contraction of q@k^T doubles from the shape-bound d=32 (the cold
+        # -step wall, docs/PERF.md "head-dim repacking"). This changes the
+        # softmax granularity vs the timm architecture: it is an ABLATION
+        # lever (accuracy evidence must come from fixture training, and
+        # published checkpoints cannot be imported into a repacked model).
+        head_dim_env = os.environ.get("ROUTEFORMER_SWIN_HEADS")
+        if head_dim_env and preset.embed_dim // preset.heads[0] != int(
+            head_dim_env
+        ):
+            target_d = int(head_dim_env)
+            base_d = preset.embed_dim // preset.heads[0]
+            if target_d % base_d != 0:
+                raise ValueError(
+                    f"ROUTEFORMER_SWIN_HEADS={target_d} is not a multiple "
+                    f"of the preset head dim {base_d}"
+                )
+            factor = target_d // base_d
+            if any(h % factor for h in preset.heads):
+                raise ValueError(
+                    f"head counts {preset.heads} not divisible by "
+                    f"repack factor {factor}"
+                )
+            preset = dc_replace(
+                preset, heads=tuple(h // factor for h in preset.heads)
+            )
         self.preset = preset
         self.train_backbone = configs.train_backbone
         self.unfreeze = False

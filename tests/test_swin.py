@@ -266,3 +266,47 @@ class TestTrainingGeometryLever:
             params, state, opt_state, inp, tgt, jnp.asarray(0)
         )
         assert np.isfinite(float(metrics["total_loss"]))
+
+
+class TestHeadRepackLever:
+    """The head-dim repacking ablation (docs/PERF.md cold-step lever #2):
+    ``ROUTEFORMER_SWIN_HEADS=<d>`` repacks each stage into fewer, wider
+    heads — same qkv/proj widths and FLOPs, wider MXU contraction."""
+
+    def test_env_repacks_heads(self, rng, monkeypatch):
+        # tiny preset head dim is 16/2 = 8 -> target 16 halves the counts
+        monkeypatch.setenv("ROUTEFORMER_SWIN_HEADS", "16")
+        m = SwinV2Backbone(tiny_cfg(), rngs=nnx.Rngs(0))
+        assert m.preset.heads == (1, 2)
+        assert m.output_feature_shape == (4, 4, 32)  # widths unchanged
+        m.eval()
+        x = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)).astype(np.float32))
+        out = m(x)
+        assert out.shape == (2, 4, 4, 32)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_noop_when_already_at_target(self, monkeypatch):
+        monkeypatch.setenv("ROUTEFORMER_SWIN_HEADS", "8")
+        m = SwinV2Backbone(tiny_cfg(), rngs=nnx.Rngs(0))
+        assert m.preset.heads == (2, 4)
+
+    def test_rejects_non_multiple_target(self, monkeypatch):
+        monkeypatch.setenv("ROUTEFORMER_SWIN_HEADS", "12")
+        with pytest.raises(ValueError, match="not a multiple"):
+            SwinV2Backbone(tiny_cfg(), rngs=nnx.Rngs(0))
+
+    def test_rejects_indivisible_head_counts(self, monkeypatch):
+        # factor 4 would need heads (2, 4) -> (0.5, 1): rejected
+        monkeypatch.setenv("ROUTEFORMER_SWIN_HEADS", "32")
+        with pytest.raises(ValueError, match="not divisible"):
+            SwinV2Backbone(tiny_cfg(), rngs=nnx.Rngs(0))
+
+    def test_composes_with_192_geometry(self, monkeypatch):
+        monkeypatch.setenv("ROUTEFORMER_SWIN_GEOMETRY", "192")
+        monkeypatch.setenv("ROUTEFORMER_SWIN_HEADS", "64")
+        m = SwinV2Backbone(
+            tiny_cfg(model_type="swinv2_base"), rngs=nnx.Rngs(0)
+        )
+        assert m.preset.img_size == 192 and m.preset.window == 12
+        assert m.preset.heads == (2, 4, 8, 16)
+        assert m.output_feature_shape == (6, 6, 1024)

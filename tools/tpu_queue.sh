@@ -52,6 +52,9 @@ done
 run_phase "192-geometry bench_core" /tmp/bench_core_192.log 7200 \
   env ROUTEFORMER_SWIN_GEOMETRY=192 python tools/bench_core.py
 
+run_phase "head-repack(d64) bench_core" /tmp/bench_core_h64.log 7200 \
+  env ROUTEFORMER_SWIN_HEADS=64 python tools/bench_core.py
+
 run_phase "tpu_parity" /tmp/tpu_parity_r4.log 5400 \
   python tools/tpu_parity.py
 
