@@ -515,6 +515,66 @@ class TestAutoregressiveEval:
         )
 
 
+class TestFitLoop:
+    """fit() epoch bookkeeping + the baseline weight-decay exclusion."""
+
+    @staticmethod
+    def _small_trainer(weight_decay=0.0):
+        gps_cfg = GPSBackboneConfig(
+            seq_len=SEQ_LEN, label_len=SEQ_LEN, pred_len=PRED_LEN,
+            d_model=16, n_heads=4, e_layers=1, d_layers=1, d_ff=32,
+            factor=4, dropout=0.0, activation="relu", distil=True,
+        )
+        cfg = RouteformerConfig(
+            gps_backbone_config=gps_cfg, decoder_mode="smart",
+            discount_factor={0: 0.97}, epsilon=1.0,
+        )
+        models = {
+            "Routeformer_without_video_informer": Routeformer(
+                cfg, gps_backbone=Informer, rngs=nnx.Rngs(0, dropout=1)
+            ),
+            "stationary_baseline": Routeformer(
+                cfg, gps_backbone=StationaryBaseline,
+                rngs=nnx.Rngs(4, dropout=5),
+            ),
+        }
+        tx = build_optimizer(
+            learning_rate=1e-3, weight_decay=weight_decay,
+            video_backbone_lr=None, warmup_epochs=0, max_epochs=100,
+            gradient_clip_val=2.5,
+        )
+        return ParallelTrainer(models, tx, cfg)
+
+    def test_repeated_fit_advances_epochs(self, batch):
+        """Two fit(epochs=1) calls train epochs 0 then 1 — the second call
+        must not re-train epoch 0 (the epoch drives the discount/unfreeze
+        schedule, so re-running it silently repeats schedule state)."""
+        trainer = self._small_trainer()
+        seen = []
+        cb = lambda phase, epoch, i, m: seen.append((phase, epoch))  # noqa: E731
+        trainer.fit([batch], epochs=1, on_metrics=cb, log_every=1)
+        assert trainer.epoch == 1
+        trainer.fit([batch], epochs=1, on_metrics=cb, log_every=1)
+        assert trainer.epoch == 2
+        assert [e for _, e in seen] == [0, 1]
+
+    def test_weight_decay_never_touches_baselines(self, batch):
+        """AdamW's decoupled weight decay applies to UPDATES, not grads —
+        zero grads alone would still shrink baseline params every step
+        (reference passes baselines no optimizer at all,
+        full_comparison.py:470-531)."""
+        trainer = self._small_trainer(weight_decay=0.1)
+        before = [
+            np.asarray(x)
+            for x in jax.tree.leaves(trainer.params["stationary_baseline"])
+        ]
+        for _ in range(3):
+            trainer.training_step(batch)
+        after = jax.tree.leaves(trainer.params["stationary_baseline"])
+        for b, a in zip(before, after):
+            np.testing.assert_array_equal(b, np.asarray(a))
+
+
 class TestUint8WireFormat:
     """uint8 wire-format batches (dataset video_dtype="uint8") must train
     and eval identically to float16 batches: the jitted step dequantizes
