@@ -120,9 +120,17 @@ def load_pldata_file(directory, topic: str) -> PLData:
     data_ts = np.load(ts_file)
     with open(msgpack_file, "rb") as fh:
         unpacker = msgpack.Unpacker(fh, use_list=False, strict_map_key=False)
-        for entry_topic, payload in unpacker:
-            data.append(Serialized_Dict(msgpack_bytes=payload))
-            topics.append(entry_topic)
+        try:
+            for entry in unpacker:
+                entry_topic, payload = entry
+                data.append(Serialized_Dict(msgpack_bytes=payload))
+                topics.append(entry_topic)
+        except (TypeError, ValueError, msgpack.UnpackException) as e:
+            # Corrupt/truncated stream (robustness contract: ValueError,
+            # tests/test_parser_robustness.py). msgpack's own exceptions
+            # mostly subclass ValueError already; Type/unpack errors come
+            # from entries that are not (topic, payload) pairs.
+            raise ValueError(f"{msgpack_file}: corrupt pldata stream: {e}") from e
     return PLData(data, data_ts, topics)
 
 

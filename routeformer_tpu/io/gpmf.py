@@ -98,28 +98,39 @@ def _parse_payload(type_byte: int, struct_size: int, repeat: int, payload: bytes
 
 
 def parse_gpmf(data: bytes) -> Iterator[KLVItem]:
-    """Iterate GPMF KLV items, descending into nested containers (type 0)."""
-    pos = 0
-    n = len(data)
-    while pos + 8 <= n:
-        fourcc = data[pos : pos + 4].decode("latin-1", errors="replace")
-        type_byte = data[pos + 4]
-        struct_size = data[pos + 5]
-        repeat = struct.unpack(">H", data[pos + 6 : pos + 8])[0]
+    """Iterate GPMF KLV items, descending into nested containers (type 0).
+
+    Robust on arbitrary bytes: malformed items trigger a 4-byte resync
+    (GPMF streams concatenated per-sample can have slack), nesting is
+    handled with an explicit work stack so hostile self-nested streams
+    cannot blow the Python recursion limit.
+    """
+    # (buffer, pos) frames; containers push their payload as a new frame.
+    stack: List[List] = [[data, 0]]
+    while stack:
+        frame = stack[-1]
+        buf, pos = frame
+        n = len(buf)
+        if pos + 8 > n:
+            stack.pop()
+            continue
+        fourcc = buf[pos : pos + 4].decode("latin-1", errors="replace")
+        type_byte = buf[pos + 4]
+        struct_size = buf[pos + 5]
+        repeat = struct.unpack(">H", buf[pos + 6 : pos + 8])[0]
         length = struct_size * repeat
         padded = (length + 3) & ~3
-        payload = data[pos + 8 : pos + 8 + length]
+        payload = buf[pos + 8 : pos + 8 + length]
         if not fourcc.isprintable() or len(payload) < length:
-            # resync: GPMF streams concatenated per-sample can have slack
-            pos += 4
+            frame[1] = pos + 4  # resync
             continue
+        frame[1] = pos + 8 + padded
         if type_byte == 0:  # nested container
-            yield from parse_gpmf(payload)
+            stack.append([payload, 0])
         else:
             yield KLVItem(fourcc, chr(type_byte), _parse_payload(
                 type_byte, struct_size, repeat, payload
             ))
-        pos += 8 + padded
 
 
 def build_gps_points(
@@ -148,23 +159,43 @@ def build_gps_points(
     gpsp: Optional[float] = None
     gpsfix = 0
 
+    def _as_float(v) -> Optional[float]:
+        """Numeric coercion that rejects (rather than raises on) the str /
+        bytes / datetime payloads a malformed typed item can carry."""
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return float(v)
+        return None
+
     for item in parse_gpmf(data):
         if item.fourcc == "SCAL":
             vals = item.data if isinstance(item.data, list) else [item.data]
             flat = []
             for v in vals:
                 flat.extend(v if isinstance(v, tuple) else (v,))
-            scal = tuple(float(v) for v in flat)
+            coerced = [_as_float(v) for v in flat]
+            if coerced and all(c is not None for c in coerced):
+                scal = tuple(coerced)
+            else:
+                logger.warning("Malformed SCAL item, keeping previous scale")
         elif item.fourcc == "GPSU":
             gpsu = item.data if isinstance(item.data, datetime.datetime) else None
         elif item.fourcc == "GPSF":
             val = item.data[0] if isinstance(item.data, list) else item.data
-            gpsfix = int(val)
+            fix = _as_float(val)
+            gpsfix = int(fix) if fix is not None and math.isfinite(fix) else 0
         elif item.fourcc == "GPSP":
             val = item.data[0] if isinstance(item.data, list) else item.data
-            gpsp = float(val)
+            gpsp = _as_float(val)
         elif item.fourcc == "GPS5":
             rows = item.data if isinstance(item.data, list) else [item.data]
+            s0 = scal[0] if scal else 0.0
+            s_lat = s0
+            s_lon = scal[1] if len(scal) > 1 else s0
+            s_alt = scal[2] if len(scal) > 2 else s0
+            s_spd = scal[3] if len(scal) > 3 else s0
+            if not all((s_lat, s_lon, s_alt, s_spd)):
+                logger.warning("Zero/empty SCAL, skipping GPS5 batch")
+                continue
             for row in rows:
                 if not isinstance(row, tuple) or len(row) < 5:
                     continue
@@ -172,10 +203,13 @@ def build_gps_points(
                 if lat_r == lon_r == alt_r == 0:
                     logger.warning("Empty GPS data point, skipping")
                     continue
-                lat = float(lat_r) / scal[0]
-                lon = float(lon_r) / (scal[1] if len(scal) > 1 else scal[0])
-                alt = float(alt_r) / (scal[2] if len(scal) > 2 else scal[0])
-                spd = float(spd2d_r) / (scal[3] if len(scal) > 3 else scal[0])
+                lat = float(lat_r) / s_lat
+                lon = float(lon_r) / s_lon
+                alt = float(alt_r) / s_alt
+                spd = float(spd2d_r) / s_spd
+                if not (math.isfinite(lat) and math.isfinite(lon)):
+                    logger.warning("Non-finite GPS data point, skipping")
+                    continue
                 # GPSU stamps only the first point of each GPS5 batch.
                 points.append(GPSPoint(lat, lon, alt, gpsu, spd))
                 gpsu = None

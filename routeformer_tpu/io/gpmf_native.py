@@ -42,7 +42,7 @@ def _load():
             ctypes.POINTER(ctypes.c_double),
             ctypes.c_long,
         ]
-        assert lib.gpmf_native_abi_version() == 1
+        assert lib.gpmf_native_abi_version() == 2
         _lib = lib
         return lib
     except OSError as e:  # pragma: no cover
@@ -56,7 +56,9 @@ def native_available() -> bool:
 
 def extract_gps_raw(data: bytes) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     """Raw extraction: (points (N, 5) [lat, lon, alt, speed, dop], times (N,))
-    with NaN times for non-batch-head samples. None when lib unavailable."""
+    with NaN times for non-batch-head samples. None when the lib is
+    unavailable OR the stream is non-canonical (the walker returns -1 and
+    the caller must use the Python FSM for exact semantics)."""
     lib = _load()
     if lib is None:
         return None
@@ -71,6 +73,8 @@ def extract_gps_raw(data: bytes) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         out_time.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         max_points,
     )
+    if n < 0:  # non-canonical stream: Python fallback
+        return None
     return out[:n], out_time[:n]
 
 

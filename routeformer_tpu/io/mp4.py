@@ -117,6 +117,8 @@ class MP4(object):
                 box_type = header[4:8]
                 body_start = pos + 8
                 if size == 1:  # 64-bit size
+                    if len(header) < 16:
+                        break
                     size = struct.unpack(">Q", header[8:16])[0]
                     body_start = pos + 16
                 elif size == 0:
@@ -129,7 +131,12 @@ class MP4(object):
             del data
         if moov is None:
             raise ValueError(f"{self.path}: no moov box found")
-        self._parse_moov(moov)
+        try:
+            self._parse_moov(moov)
+        except (struct.error, IndexError, OverflowError, UnicodeDecodeError) as e:
+            # Robustness contract: malformed metadata surfaces as ValueError,
+            # never as a raw struct/index error (tests/test_parser_robustness).
+            raise ValueError(f"{self.path}: malformed mp4 metadata: {e}") from e
 
     def _iter_boxes(self, buf: bytes, start: int, end: int):
         pos = start
@@ -138,11 +145,13 @@ class MP4(object):
             box_type = buf[pos + 4 : pos + 8]
             body = pos + 8
             if size == 1:
+                if pos + 16 > end:
+                    return  # truncated 64-bit size header
                 size = struct.unpack(">Q", buf[pos + 8 : pos + 16])[0]
                 body = pos + 16
             elif size == 0:
                 size = end - pos
-            yield box_type, body, pos + size
+            yield box_type, body, min(pos + size, end)
             pos += max(size, 8)
 
     def _parse_moov(self, moov: bytes):

@@ -1,0 +1,260 @@
+"""Adversarial-input robustness for the byte-level parsers.
+
+The reference reaches its parsers through ffmpeg/gopro2gpx/msgpack and
+inherits whatever those do on malformed bytes; this framework owns the
+parsers (io/gpmf.py, io/mp4.py, native/gpmf.cpp, io/file_methods.py), so
+the contract is explicit:
+
+- ``parse_gpmf`` / ``build_gps_points`` NEVER raise on arbitrary bytes —
+  malformed items are skipped (resync), the well-formed remainder is
+  returned. Both the pure-Python FSM and the C++ walker honor this, and
+  they agree on every fuzz input (byte-parity beyond valid streams).
+- ``MP4(path)`` either parses or raises ``ValueError`` — no struct.error /
+  IndexError / UnicodeDecodeError escapes, no hangs, no partial junk.
+- ``load_pldata_file`` raises ``ValueError`` on corrupt/truncated streams.
+
+All randomness is seeded; the corpus is deterministic.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from routeformer_tpu.io.file_methods import load_pldata_file, save_pldata_file
+from routeformer_tpu.io.gpmf import GPSPoint, build_gps_points, parse_gpmf
+from routeformer_tpu.io.mp4 import MP4
+
+from tests.gem_fixture import (
+    inject_gpmf_track,
+    make_trajectory,
+    gpmf_stream,
+    write_video,
+)
+
+
+def _check_points(result):
+    points, dilutions = result
+    assert isinstance(points, list) and isinstance(dilutions, list)
+    assert len(points) == len(dilutions)
+    for p in points:
+        assert isinstance(p, GPSPoint)
+        assert np.isfinite(p.latitude) and np.isfinite(p.longitude)
+
+
+def _valid_stream() -> bytes:
+    xy = make_trajectory(10.0, seed=3)
+    return gpmf_stream(xy, start_epoch=1.7e9)
+
+
+class TestGPMFRobustness:
+    def test_random_bytes_never_raise(self):
+        rng = np.random.default_rng(0)
+        for _ in range(300):
+            blob = rng.integers(0, 256, size=int(rng.integers(0, 4096))).astype(
+                np.uint8
+            ).tobytes()
+            list(parse_gpmf(blob))
+            _check_points(build_gps_points(blob, prefer_native=False))
+
+    def test_truncations_never_raise(self):
+        stream = _valid_stream()
+        cuts = list(range(0, min(len(stream), 200))) + list(
+            range(200, len(stream), 7)
+        )
+        for cut in cuts:
+            _check_points(build_gps_points(stream[:cut], prefer_native=False))
+
+    def test_byte_flips_never_raise(self):
+        stream = bytearray(_valid_stream())
+        rng = np.random.default_rng(1)
+        for _ in range(400):
+            mutated = bytearray(stream)
+            for _ in range(int(rng.integers(1, 8))):
+                mutated[int(rng.integers(0, len(mutated)))] = int(
+                    rng.integers(0, 256)
+                )
+            _check_points(build_gps_points(bytes(mutated), prefer_native=False))
+
+    def test_hostile_field_values_never_raise(self):
+        """Crafted streams targeting the FSM's arithmetic: zero/empty SCAL,
+        string-typed GPSF/GPSP, GPS5 with odd struct sizes."""
+        from routeformer_tpu.io.gpmf import encode_gpmf
+
+        hostile = [
+            # SCAL of zeros -> division guards
+            [("SCAL", "l", struct.pack(">lllll", 0, 0, 0, 0, 0), 4, 5),
+             ("GPS5", "l", struct.pack(">lllll", 1, 2, 3, 4, 5), 20, 1)],
+            # SCAL empty (repeat 0)
+            [("SCAL", "l", b"", 4, 0),
+             ("GPS5", "l", struct.pack(">lllll", 1, 2, 3, 4, 5), 20, 1)],
+            # GPSF/GPSP as strings
+            [("GPSF", "c", b"zero", 1, 4),
+             ("GPSP", "c", b"high", 1, 4),
+             ("SCAL", "l", struct.pack(">lllll", 1, 1, 1, 1, 1), 4, 5),
+             ("GPS5", "l", struct.pack(">lllll", 1, 2, 3, 4, 5), 20, 1)],
+            # GPSU garbage text
+            [("GPSU", "U", b"not-a-timestamp!", 16, 1),
+             ("GPS5", "l", struct.pack(">lllll", 1, 2, 3, 4, 5), 20, 1)],
+            # GPS5 with struct_size not divisible by element size
+            [("GPS5", "l", b"\x00" * 21, 7, 3)],
+            # SCAL carrying a datetime-typed payload
+            [("SCAL", "U", b"230515120000.000", 16, 1),
+             ("GPS5", "l", struct.pack(">lllll", 1, 2, 3, 4, 5), 20, 1)],
+        ]
+        for items in hostile:
+            blob = encode_gpmf(items)
+            _check_points(build_gps_points(blob, prefer_native=False))
+
+    def test_deep_nesting_bounded(self):
+        """A pathologically nested container stream must not blow the
+        stack (Python recursion or C++ segfault)."""
+        inner = struct.pack(">4sBBH", b"GPSF", ord("L"), 4, 1) + struct.pack(
+            ">L", 3
+        )
+        blob = inner
+        while len(blob) + 8 <= 65535:  # repeat field is u16; ~8000 levels
+            blob = struct.pack(">4sBBH", b"DEVC", 0, 1, len(blob)) + blob
+        list(parse_gpmf(blob))
+        _check_points(build_gps_points(blob, prefer_native=False))
+        _check_points(build_gps_points(blob, prefer_native=True))
+
+    def test_native_matches_python_on_fuzz(self):
+        """The C++ walker and the Python FSM agree on adversarial bytes,
+        not just valid streams."""
+        native = pytest.importorskip(
+            "routeformer_tpu.io.gpmf_native"
+        )
+        if not native.native_available():
+            pytest.skip("native gpmf library not built")
+        rng = np.random.default_rng(2)
+        stream = bytearray(_valid_stream())
+        corpus = []
+        for _ in range(100):
+            blob = rng.integers(0, 256, size=int(rng.integers(8, 2048))).astype(
+                np.uint8
+            ).tobytes()
+            corpus.append(blob)
+        for _ in range(100):
+            mutated = bytearray(stream)
+            for _ in range(int(rng.integers(1, 12))):
+                mutated[int(rng.integers(0, len(mutated)))] = int(
+                    rng.integers(0, 256)
+                )
+            corpus.append(bytes(mutated))
+        for cut in range(0, len(stream), 23):
+            corpus.append(bytes(stream[:cut]))
+        handled = 0
+        for blob in corpus:
+            got = native.build_gps_points_native(blob, 500.0)
+            if got is None:
+                # non-canonical stream: the walker bailed out (-1) and the
+                # production path falls back to the Python FSM — parity is
+                # trivially preserved; nothing to compare for this blob
+                continue
+            handled += 1
+            ref = build_gps_points(blob, prefer_native=False)
+            assert len(got[0]) == len(ref[0]), blob.hex()[:120]
+            for a, b in zip(got[0], ref[0]):
+                assert a.latitude == pytest.approx(b.latitude, abs=1e-12)
+                assert a.longitude == pytest.approx(b.longitude, abs=1e-12)
+                assert a.altitude == pytest.approx(b.altitude, abs=1e-12)
+            assert got[1] == pytest.approx(ref[1])
+        # the walker must actually handle most of the corpus natively —
+        # truncations of a canonical stream stay canonical, and random /
+        # mutated blobs rarely contain a well-formed non-canonical item
+        assert handled >= len(corpus) // 2, (handled, len(corpus))
+
+
+@pytest.fixture(scope="module")
+def small_mp4(tmp_path_factory):
+    path = tmp_path_factory.mktemp("fuzz") / "clip.mp4"
+    write_video(path, n_frames=12, hw=(32, 48), seed=0)
+    xy = make_trajectory(3.0, seed=1)
+    inject_gpmf_track(path, gpmf_stream(xy, start_epoch=1.7e9))
+    return path
+
+
+class TestMP4Robustness:
+    def _try(self, path):
+        try:
+            mp4 = MP4(path)
+        except ValueError:
+            return
+        for track in mp4.tracks:
+            offs = track.sample_offsets()
+            assert all(o >= 0 and s >= 0 for o, s in offs)
+
+    def test_truncations(self, small_mp4, tmp_path):
+        data = small_mp4.read_bytes()
+        target = tmp_path / "t.mp4"
+        cuts = sorted(
+            set(
+                list(range(0, 64))
+                + list(range(64, len(data), max(1, len(data) // 200)))
+            )
+        )
+        for cut in cuts:
+            target.write_bytes(data[:cut])
+            self._try(target)
+
+    def test_byte_flips(self, small_mp4, tmp_path):
+        data = bytearray(small_mp4.read_bytes())
+        target = tmp_path / "m.mp4"
+        rng = np.random.default_rng(3)
+        # bias mutations into the moov region (the parsed structure lives
+        # there; flipping mdat bytes exercises nothing)
+        moov_at = bytes(data).find(b"moov")
+        lo = max(0, moov_at - 8)
+        for _ in range(300):
+            mutated = bytearray(data)
+            for _ in range(int(rng.integers(1, 6))):
+                mutated[int(rng.integers(lo, len(mutated)))] = int(
+                    rng.integers(0, 256)
+                )
+            target.write_bytes(bytes(mutated))
+            self._try(target)
+
+    def test_random_bytes(self, tmp_path):
+        rng = np.random.default_rng(4)
+        target = tmp_path / "r.mp4"
+        for _ in range(50):
+            target.write_bytes(
+                rng.integers(0, 256, size=int(rng.integers(0, 2048)))
+                .astype(np.uint8)
+                .tobytes()
+            )
+            self._try(target)
+
+
+class TestPldataRobustness:
+    def test_truncated_pldata_raises_value_error(self, tmp_path):
+        save_pldata_file(
+            [{"topic": "gaze", "value": float(i)} for i in range(50)],
+            [float(i) for i in range(50)],
+            tmp_path,
+            "gaze",
+        )
+        blob = (tmp_path / "gaze.pldata").read_bytes()
+        for cut in range(1, len(blob), max(1, len(blob) // 60)):
+            (tmp_path / "gaze.pldata").write_bytes(blob[:cut])
+            try:
+                result = load_pldata_file(tmp_path, "gaze")
+                # partial-but-clean is acceptable: entries parsed so far
+                assert len(result.data) <= 50
+            except ValueError:
+                pass
+
+    def test_garbage_pldata_raises_value_error(self, tmp_path):
+        rng = np.random.default_rng(5)
+        np.save(tmp_path / "gaze_timestamps.npy", np.arange(5.0))
+        for _ in range(30):
+            (tmp_path / "gaze.pldata").write_bytes(
+                rng.integers(0, 256, size=int(rng.integers(1, 512)))
+                .astype(np.uint8)
+                .tobytes()
+            )
+            try:
+                load_pldata_file(tmp_path, "gaze")
+            except ValueError:
+                pass
