@@ -124,39 +124,46 @@ int rf_audio_decode(const char* path, double start_sec, double end_sec,
   AVFrame* frame = av_frame_alloc();
   bool done = false;
   int channels = 0;
+  // One window classification for both the read loop and the decoder
+  // drain: AAC has decoder delay, so the trailing frame(s) of a window
+  // that reaches the file's end only surface after the NULL flush packet
+  // and must go through the same pts-window logic as streamed frames.
+  auto classify = [&](AVFrame* f) {
+    const int64_t pts = f->pts != AV_NOPTS_VALUE ? f->pts : f->pkt_dts;
+    channels = f->ch_layout.nb_channels;
+    Chunk c;
+    c.pts = pts;
+    c.n = f->nb_samples;
+    c.data.resize(static_cast<size_t>(c.n) * channels);
+    for (int64_t i = 0; i < c.n; ++i)
+      for (int ch = 0; ch < channels; ++ch)
+        c.data[static_cast<size_t>(i) * channels + ch] =
+            sample_to_float(f, ch, i);
+    if (pts < start_pts) {
+      preceding = std::move(c);
+      have_preceding = true;
+    } else if (pts <= end_pts) {
+      if (pts == start_pts) have_exact_start = true;
+      window.push_back(std::move(c));
+      if (pts >= end_pts) done = true;
+    } else {
+      done = true;
+    }
+  };
   while (!done && av_read_frame(fmt, pkt) >= 0) {
     if (pkt->stream_index == stream_idx &&
         avcodec_send_packet(ctx, pkt) >= 0) {
       while (avcodec_receive_frame(ctx, frame) >= 0) {
-        const int64_t pts =
-            frame->pts != AV_NOPTS_VALUE ? frame->pts : frame->pkt_dts;
-        channels = frame->ch_layout.nb_channels;
-        Chunk c;
-        c.pts = pts;
-        c.n = frame->nb_samples;
-        c.data.resize(static_cast<size_t>(c.n) * channels);
-        for (int64_t i = 0; i < c.n; ++i)
-          for (int ch = 0; ch < channels; ++ch)
-            c.data[static_cast<size_t>(i) * channels + ch] =
-                sample_to_float(frame, ch, i);
-        if (pts < start_pts) {
-          preceding = std::move(c);
-          have_preceding = true;
-        } else if (pts <= end_pts) {
-          if (pts == start_pts) have_exact_start = true;
-          window.push_back(std::move(c));
-          if (pts >= end_pts) done = true;
-        } else {
-          done = true;
-        }
+        classify(frame);
         av_frame_unref(frame);
       }
     }
     av_packet_unref(pkt);
   }
-  // drain
+  // drain buffered frames through the same window classification
   avcodec_send_packet(ctx, nullptr);
   while (!done && avcodec_receive_frame(ctx, frame) >= 0) {
+    classify(frame);
     av_frame_unref(frame);
   }
   av_frame_free(&frame);
@@ -187,5 +194,95 @@ int rf_audio_decode(const char* path, double start_sec, double end_sec,
 }
 
 void rf_audio_free(float* p) { std::free(p); }
+
+// Fixture helper: encode mono float32 samples as an AAC track in an MP4.
+// Real GoPro/Pupil recordings carry AAC; no encoder exists elsewhere in
+// this image (cv2 h264/aac encode is disabled), so tests use this to build
+// byte-real compressed-audio fixtures and assert the decoder's
+// window/prepend/drain semantics on them (self-consistency against a
+// full-file decode — see tests/test_audio.py).
+// Returns 0 on success; negative codes on failure.
+int rf_audio_encode_aac(const char* path, const float* samples,
+                        long long n_samples, int rate) {
+  AVFormatContext* fmt = nullptr;
+  if (avformat_alloc_output_context2(&fmt, nullptr, "mp4", path) < 0 || !fmt)
+    return -1;
+  const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_AAC);
+  if (!codec) {
+    avformat_free_context(fmt);
+    return -2;
+  }
+  AVCodecContext* ctx = avcodec_alloc_context3(codec);
+  ctx->sample_rate = rate;
+  ctx->sample_fmt = AV_SAMPLE_FMT_FLTP;
+  av_channel_layout_default(&ctx->ch_layout, 1);
+  ctx->time_base = AVRational{1, rate};
+  ctx->bit_rate = 128000;
+  if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  if (avcodec_open2(ctx, codec, nullptr) < 0) {
+    avcodec_free_context(&ctx);
+    avformat_free_context(fmt);
+    return -3;
+  }
+  AVStream* st = avformat_new_stream(fmt, nullptr);
+  avcodec_parameters_from_context(st->codecpar, ctx);
+  st->time_base = ctx->time_base;
+  if (!(fmt->oformat->flags & AVFMT_NOFILE) &&
+      avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) {
+    avcodec_free_context(&ctx);
+    avformat_free_context(fmt);
+    return -4;
+  }
+  if (avformat_write_header(fmt, nullptr) < 0) {
+    avcodec_free_context(&ctx);
+    avformat_free_context(fmt);
+    return -5;
+  }
+
+  AVPacket* pkt = av_packet_alloc();
+  auto mux = [&]() -> bool {
+    while (true) {
+      int rc = avcodec_receive_packet(ctx, pkt);
+      if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) return true;
+      if (rc < 0) return false;
+      av_packet_rescale_ts(pkt, ctx->time_base, st->time_base);
+      pkt->stream_index = st->index;
+      if (av_interleaved_write_frame(fmt, pkt) < 0) return false;
+    }
+  };
+
+  const int frame_n = ctx->frame_size > 0 ? ctx->frame_size : 1024;
+  AVFrame* frame = av_frame_alloc();
+  bool ok = true;
+  long long pos = 0;
+  while (ok && pos < n_samples) {
+    const int n = static_cast<int>(
+        n_samples - pos < frame_n ? n_samples - pos : frame_n);
+    frame->nb_samples = n;
+    frame->format = AV_SAMPLE_FMT_FLTP;
+    av_channel_layout_default(&frame->ch_layout, 1);
+    frame->sample_rate = rate;
+    frame->pts = pos;
+    if (av_frame_get_buffer(frame, 0) < 0) {
+      ok = false;
+      break;
+    }
+    std::memcpy(frame->extended_data[0], samples + pos,
+                static_cast<size_t>(n) * sizeof(float));
+    ok = avcodec_send_frame(ctx, frame) >= 0 && mux();
+    av_frame_unref(frame);
+    pos += n;
+  }
+  if (ok) ok = avcodec_send_frame(ctx, nullptr) >= 0 && mux();
+  if (ok) ok = av_write_trailer(fmt) >= 0;
+
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  avcodec_free_context(&ctx);
+  if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
+  avformat_free_context(fmt);
+  return ok ? 0 : -6;
+}
 
 }  // extern "C"

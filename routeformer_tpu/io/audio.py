@@ -57,6 +57,12 @@ def _native_lib():
         ]
         lib.rf_audio_decode.restype = ctypes.c_int
         lib.rf_audio_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+        if hasattr(lib, "rf_audio_encode_aac"):
+            lib.rf_audio_encode_aac.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_longlong, ctypes.c_int,
+            ]
+            lib.rf_audio_encode_aac.restype = ctypes.c_int
         _lib = lib
     except OSError as e:  # pragma: no cover - build missing
         logger.warning(
@@ -110,6 +116,27 @@ def read_audio(
     return _read_audio_pure(path, start_sec, end_sec)
 
 
+def encode_aac(path, samples: np.ndarray, rate: int) -> bool:
+    """Encode mono float32 ``samples`` as an AAC track in an MP4 (fixture /
+    recorder role, like ``save_pldata_file``). Real GoPro/Pupil recordings
+    carry AAC and no other encoder exists in this image, so tests use this
+    to build byte-real compressed-audio fixtures. False when the native
+    library (``python native/build.py``) is unavailable."""
+    lib = _native_lib()
+    if lib is None or not hasattr(lib, "rf_audio_encode_aac"):
+        return False
+    samples = np.ascontiguousarray(samples, dtype=np.float32).reshape(-1)
+    rc = lib.rf_audio_encode_aac(
+        str(path).encode(),
+        samples.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(samples),
+        int(rate),
+    )
+    if rc != 0:
+        logger.warning("AAC encode of %s failed (rc=%d)", path, rc)
+    return rc == 0
+
+
 # --------------------------------------------------------------------- #
 # pure-Python twin (PCM tracks only)
 # --------------------------------------------------------------------- #
@@ -126,7 +153,12 @@ def _audio_track(mp4):
 
 def _stsd_audio_fields(entry: bytes):
     """(channels, sample_size_bits, sample_rate) from a raw audio sample
-    entry (size/codec/reserved/dref, then the v0 audio fields)."""
+    entry (size/codec/reserved/dref, then the v0 audio fields).
+
+    Raises ValueError on a truncated entry (robustness contract: malformed
+    metadata never surfaces as struct.error, tests/test_parser_robustness)."""
+    if len(entry) < 36:
+        raise ValueError(f"truncated audio sample entry ({len(entry)} bytes)")
     channels, bits = struct.unpack(">HH", entry[24:28])
     rate = struct.unpack(">I", entry[32:36])[0] / 65536.0
     return channels, bits, rate
@@ -151,7 +183,11 @@ def _read_audio_pure(path, start_sec: float, end_sec: float):
             "PCM (sowt/twos) only"
         )
     dtype = _PCM_CODECS[track.codec]
-    channels, bits, _ = _stsd_audio_fields(track.stsd_entry)
+    try:
+        channels, bits, _ = _stsd_audio_fields(track.stsd_entry)
+    except ValueError as e:
+        logger.warning("malformed audio sample entry in %s: %s", path, e)
+        return dict(_EMPTY)
     if bits != 16 or channels < 1:
         raise RuntimeError(
             f"{path}: unsupported PCM layout ({bits}-bit, {channels}ch)"

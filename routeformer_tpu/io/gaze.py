@@ -210,12 +210,20 @@ def _rodrigues_inv(r: np.ndarray) -> np.ndarray:
     if theta < 1e-12:
         return np.zeros(3)
     if abs(theta - np.pi) < 1e-6:
-        # near-pi: axis from R + I diagonal
+        # Near pi the skew part vanishes, so magnitudes come from the
+        # symmetric part m = (R + I)/2 (axis axis^T at exactly pi) and the
+        # RELATIVE signs from m's off-diagonal column of the largest
+        # component (axis_i * axis_k = m[i, k]). The skew part, when it is
+        # still nonzero, disambiguates the overall sign; at exactly pi both
+        # signs are valid and + is returned.
         m = (r + np.eye(3)) / 2
-        axis = np.sqrt(np.maximum(np.diag(m), 0))
-        axis *= np.sign(
-            [r[2, 1] - r[1, 2], r[0, 2] - r[2, 0], r[1, 0] - r[0, 1]]
-        ) + (axis == 0)
+        mags = np.sqrt(np.maximum(np.diag(m), 0))
+        k = int(np.argmax(mags))
+        axis = m[:, k] / max(mags[k], 1e-12)
+        axis[k] = mags[k]
+        skew_k = (r[2, 1] - r[1, 2], r[0, 2] - r[2, 0], r[1, 0] - r[0, 1])[k]
+        if skew_k < 0:
+            axis = -axis
         return theta * axis / np.linalg.norm(axis)
     axis = np.array(
         [r[2, 1] - r[1, 2], r[0, 2] - r[2, 0], r[1, 0] - r[0, 1]]

@@ -143,3 +143,71 @@ class TestDatasetWithAudio:
         ds = self._dataset(gem_audio_root, with_audio=False)
         sample = ds[0]
         assert not any("audio" in k for k in sample["train"])
+
+
+class TestAACWindowSemantics:
+    """Compressed-audio coverage. Real recordings carry AAC, but the pure
+    twin is PCM-only (an AAC decoder has no reasonable pure-Python twin),
+    so the native decoder's window/prepend/drain semantics are asserted by
+    SELF-CONSISTENCY on a byte-real AAC fixture: every window read must be
+    an exact contiguous slice of the full-file decode (same decoder, so
+    sample values are bit-identical), covering [start, end], and a window
+    reaching EOF must include the decoder's drained trailing frames."""
+
+    @pytest.fixture(scope="class")
+    def aac_mp4(self, tmp_path_factory):
+        from routeformer_tpu.io.audio import encode_aac
+
+        path = tmp_path_factory.mktemp("aac") / "clip.mp4"
+        tone = audio_tone(4.0, RATE, seed=7)[:, 0].astype(np.float32)
+        tone /= max(1.0, np.abs(tone).max())  # mono in [-1, 1]
+        if not encode_aac(path, tone, RATE):
+            pytest.skip("native audio library with AAC encoder unavailable")
+        return path
+
+    def test_full_decode_shape(self, aac_mp4):
+        out = read_audio(aac_mp4)
+        assert out["sample_rate"] == RATE
+        assert out["audio"].ndim == 2 and out["audio"].shape[1] == 1
+        # within one codec frame of the 4 s source (priming/padding)
+        assert abs(out["audio"].shape[0] - 4 * RATE) <= 2048
+
+    def test_window_is_exact_slice_of_full(self, aac_mp4):
+        """Every windowed read aligns to the full decode and matches it
+        BITWISE from the second decoded frame on. The first frame after a
+        seek legitimately differs: the AAC decoder is missing the previous
+        frame's MDCT overlap (the reference's PyAV seek path behaves the
+        same way), so the head is excluded from the bitwise claim."""
+        full = read_audio(aac_mp4)["audio"][:, 0]
+        for a, b in [(0.5, 1.25), (2.37, 3.11), (0.0, 0.25)]:
+            win = read_audio(aac_mp4, a, b)["audio"][:, 0]
+            assert win.size >= (b - a) * RATE, (a, b, win.size)
+            # align on the window's tail: decoder state converges after
+            # the seek, so trailing samples are bit-identical
+            probe_at = win.size - 4096
+            off = full.tobytes().find(win[probe_at:].tobytes())
+            assert off >= 0 and off % 4 == 0, (a, b, off)
+            idx = off // 4 - probe_at
+            d = np.abs(full[idx : idx + win.size] - win)
+            # second half bit-exact; head within decoder-reconvergence
+            # error except the overlap-damaged first frame
+            assert d[win.size // 2 :].max() == 0.0, (a, b)
+            assert d[1024:].max() <= 0.05, (a, b, float(d[1024:].max()))
+            # covers [a, b]: starts at/before a (preceding-frame rule,
+            # +1 sample slack for the ceil'd pts bound), ends at/after b
+            assert idx <= a * RATE + 1, (a, idx)
+            assert idx + win.size >= min(b * RATE, full.size), (b, idx)
+
+    def test_zero_length_window_serves_preceding_frame(self, aac_mp4):
+        win = read_audio(aac_mp4, 1.0, 1.0)["audio"]
+        assert win.shape[0] >= 1 and win.shape[1] == 1
+
+    def test_window_reaching_eof_includes_drained_frames(self, aac_mp4):
+        """AAC has decoder delay: the trailing frames of a window that
+        reaches the file's end only surface on the NULL flush packet. A
+        drain that discards them (the old behavior) truncates the tail."""
+        full = read_audio(aac_mp4)["audio"][:, 0]
+        win = read_audio(aac_mp4, 3.9, float("inf"))["audio"][:, 0]
+        assert win.size > 0
+        assert np.array_equal(win[-1024:], full[-1024:])
+        assert win.size >= full.size - int(3.9 * RATE) - 1024

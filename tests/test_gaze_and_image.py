@@ -119,6 +119,29 @@ class TestSolvePnP:
         with pytest.raises(ValueError, match="3d points"):
             cam.solvePnP(np.zeros((5, 4)), np.zeros((5, 2)))
 
+    def test_pi_rotation_poses(self, rng):
+        """180-degree poses: the inverse-Rodrigues near-pi branch used to
+        zero the axis (all skew terms vanish at exactly pi) and seed the LM
+        refinement with NaN. Poses about principal and oblique axes must
+        solve with a finite rvec and tiny reprojection error."""
+        cam = self._cam()
+        obj = rng.uniform(-1, 1, (12, 3))
+        tvec = np.array([0.1, 0.2, 8.0])
+        axes = [
+            np.array([0.0, 0.0, 1.0]),
+            np.array([0.0, 1.0, 0.0]),
+            np.array([1.0, 0.0, 0.0]),
+            np.array([1.0, 1.0, 0.0]) / np.sqrt(2),
+        ]
+        for axis in axes:
+            rvec = axis * np.pi
+            img = cam.projectPoints(obj, rvec=rvec, tvec=tvec)
+            ok, r, t = cam.solvePnP(obj, img)
+            assert ok, axis
+            assert np.all(np.isfinite(r)) and np.all(np.isfinite(t)), axis
+            re = cam.projectPoints(obj, rvec=r.ravel(), tvec=t.ravel())
+            np.testing.assert_allclose(re, img, atol=1e-5)
+
 
 class TestFixationDetection:
     def make_gaze(self, clusters, hz=200.0, noise=0.0005, seed=0):
