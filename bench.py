@@ -27,9 +27,10 @@ Outage handling: this parent process NEVER initializes a jax backend (the
 axon chip is exclusive, and during a TPU-service outage backend init blocks
 ~30 min before raising). All device work runs in timeout-bounded
 subprocesses; a cheap probe subprocess retries with backoff until the
-service is healthy (ROUTEFORMER_TPU_WAIT_S budget), then the core and e2e
-phases run. Env knobs: BENCH_DEADLINE_S (total budget, default 10800),
-BENCH_PROBE_TIMEOUT_S (per probe attempt, default 600),
+service is healthy (bounded by the BENCH_DEADLINE_S budget), then the core
+and e2e phases run. Env knobs: BENCH_DEADLINE_S (total budget, default
+10800), BENCH_PROBE_TIMEOUT_S (per probe attempt, default 600),
+BENCH_PROBE_BACKOFF_S (between probes, default 120),
 ROUTEFORMER_BENCH_E2E=0 (skip e2e).
 """
 

@@ -657,6 +657,10 @@ class GEMDataset:
         return item, info
 
     def _memory_cache_put(self, idx: int, data):
+        """Store ``data`` (best-effort) and return the object to SERVE: a
+        per-dict copy when stored, so the first (miss) consumer's key
+        replacement can never corrupt the cached nesting — the same
+        protection hits get via ``_copy_sample``."""
         size = _sample_nbytes(data)
         with self._memory_cache_lock:
             if (
@@ -667,6 +671,8 @@ class GEMDataset:
                 # arrays become read-only: hits share them across epochs
                 self._memory_cache[idx] = _freeze_sample(data)
                 self._memory_cache_bytes += size
+                return _copy_sample(data)
+        return data
 
     def __getitem__(self, idx: int):
         if idx not in self._indexer:
@@ -690,7 +696,7 @@ class GEMDataset:
                     cached.pop("is_sample_ok", None)
                     cached["pci"] = item["pci"]
                     if self.use_memory_cache:
-                        self._memory_cache_put(idx, cached)
+                        cached = self._memory_cache_put(idx, cached)
                     return (cached, item) if self._return_info else cached
                 self._faulty_samples.add(idx)
                 return self._replace_faulty(idx)
@@ -712,7 +718,7 @@ class GEMDataset:
             return self._replace_faulty(idx)
 
         if self.use_memory_cache:
-            self._memory_cache_put(idx, data)
+            data = self._memory_cache_put(idx, data)
         return (data, item) if self._return_info else data
 
     def _replace_faulty(self, idx: int):

@@ -631,6 +631,9 @@ class DreyeveDataset:
             if self.memory_cache_size + size < self.max_memory_cache_size:
                 self.full_dataset[idx] = _freeze_sample(data)
                 self.memory_cache_size += size
+                # serve a per-dict copy: the miss consumer's key replacement
+                # must not corrupt the stored nesting (same as the hit path)
+                data = _copy_sample(data)
 
         return (data, entry) if self._return_info else data
 

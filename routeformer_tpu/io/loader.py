@@ -26,14 +26,11 @@ logger = get_logger("io.loader")
 
 def _mesh_put(mesh, x: np.ndarray):
     """Leaf -> global array sharded on the leading dim over the mesh's
-    ``data`` axis (replicated when 0-D) — the trainer's batch layout."""
-    import jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    ``data`` axis (replicated when 0-D) — the trainer's batch layout
+    (single rule source: parallel.mesh.place_batch_leaf)."""
+    from routeformer_tpu.parallel.mesh import place_batch_leaf
 
-    from routeformer_tpu.parallel.mesh import DATA_AXIS
-
-    spec = P(DATA_AXIS, *([None] * (x.ndim - 1))) if x.ndim >= 1 else P()
-    return jax.device_put(x, NamedSharding(mesh, spec))
+    return place_batch_leaf(x, mesh)
 
 
 def default_collate(samples: Sequence[dict]) -> dict:

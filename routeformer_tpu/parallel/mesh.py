@@ -49,16 +49,22 @@ def batch_spec() -> P:
     return P(DATA_AXIS)
 
 
+def leaf_batch_spec(x) -> P:
+    """Per-leaf batch placement rule — THE single source for the trainer,
+    the loader, and ``shard_batch``: leading dim sharded over ``data``,
+    rank-0 leaves replicated (``P(DATA_AXIS)`` is invalid for scalars)."""
+    ndim = getattr(x, "ndim", 0)
+    return P(DATA_AXIS, *([None] * (ndim - 1))) if ndim >= 1 else P()
+
+
+def place_batch_leaf(x, mesh: Mesh):
+    """Device-put one batch leaf (numpy or jax array) per the rule above."""
+    return jax.device_put(x, NamedSharding(mesh, leaf_batch_spec(x)))
+
+
 def shard_batch(batch, mesh: Mesh):
     """Device-put a batch pytree with batch-dim sharding over ``data``."""
-    sharding = NamedSharding(mesh, P(DATA_AXIS))
-
-    def put(x):
-        spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
-
-    del sharding
-    return jax.tree.map(put, batch)
+    return jax.tree.map(lambda x: place_batch_leaf(x, mesh), batch)
 
 
 def param_spec(

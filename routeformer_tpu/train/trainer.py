@@ -165,17 +165,11 @@ class ParallelTrainer:
         reference full_comparison.py:766-768, 794)."""
         if self.mesh is None:
             return jax.tree.map(jnp.asarray, batch)
-        from routeformer_tpu.parallel.mesh import DATA_AXIS
+        from routeformer_tpu.parallel.mesh import place_batch_leaf
 
-        def put(x):
-            x = jnp.asarray(x)
-            # scalars replicate (P(DATA_AXIS) is invalid for rank 0)
-            spec = (
-                P(DATA_AXIS, *([None] * (x.ndim - 1))) if x.ndim >= 1 else P()
-            )
-            return jax.device_put(x, NamedSharding(self.mesh, spec))
-
-        return jax.tree.map(put, batch)
+        return jax.tree.map(
+            lambda x: place_batch_leaf(jnp.asarray(x), self.mesh), batch
+        )
 
     # ------------------------------------------------------------------ #
 

@@ -138,6 +138,11 @@ class TestDreyeveDataset:
         ds = make_dataset(dreyeve_root, use_memory_cache=True)
         a = ds[0]
         assert 0 in ds.full_dataset
+        # the MISS return must already be isolated from the stored nesting
+        keys_before = set(ds.full_dataset[0]["train"].keys())
+        a["train"].clear()
+        assert set(ds.full_dataset[0]["train"].keys()) == keys_before
+        a = ds[0]
         b = ds[0]
         # hit: arrays shared (no recompute), dicts shallow-copied so key
         # replacement by a consumer can't corrupt the cache; in-place

@@ -179,7 +179,13 @@ class TestGEMDatasetItems:
         ds = make_dataset(root, use_memory_cache=True)
         a = ds[0]
         golden = {k: np.array(v) for k, v in a["train"].items()}
+        # the MISS return must already be isolated: mutating its nesting
+        # (key replacement, deletion) must not touch the stored sample
+        a["train"]["gps"] = np.zeros_like(a["train"]["gps"])
+        del a["train"]["left_video"]
         b = ds[0]
+        for k, v in golden.items():
+            np.testing.assert_array_equal(b["train"][k], v, err_msg=k)
         with pytest.raises(ValueError):
             b["train"]["gps"][:] = 0.0  # in-place write -> read-only error
         b["train"]["gps"] = np.zeros_like(b["train"]["gps"])  # key swap: ok

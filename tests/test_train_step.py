@@ -93,6 +93,22 @@ class TestSingleDeviceTraining:
 
 
 class TestMeshTraining:
+    def test_shard_batch_handles_scalar_leaves(self):
+        """The public shard_batch shares the trainer/loader placement rule:
+        rank-0 leaves replicate (P('data') is invalid for scalars) and
+        rank-1+ leaves shard the leading dim."""
+        from routeformer_tpu.parallel.mesh import shard_batch
+
+        mesh = make_mesh(n_data=4, n_model=2)
+        batch = {
+            "x": np.arange(32, dtype=np.float32).reshape(8, 4),
+            "epoch": np.asarray(3, dtype=np.int32),
+        }
+        placed = shard_batch(batch, mesh)
+        assert placed["epoch"].shape == () and int(placed["epoch"]) == 3
+        assert placed["x"].sharding.spec[0] == "data"
+        np.testing.assert_array_equal(np.asarray(placed["x"]), batch["x"])
+
     def test_dp_mesh_step(self):
         assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
         mesh = make_mesh(n_data=8, n_model=1)
