@@ -258,3 +258,19 @@ class TestPldataRobustness:
                 load_pldata_file(tmp_path, "gaze")
             except ValueError:
                 pass
+
+
+class TestVideoDecodeRobustness:
+    def test_truncated_video_degrades(self, small_mp4, tmp_path):
+        """Decode of corrupt/truncated video returns frames-so-far or an
+        empty tensor, never raises (reference degrades the same way,
+        dataset.py:2156-2159)."""
+        from routeformer_tpu.io.video import read_video
+
+        data = small_mp4.read_bytes()
+        target = tmp_path / "t.mp4"
+        for cut in (0, 100, len(data) // 3, len(data) // 2):
+            target.write_bytes(data[:cut])
+            out = read_video(target)
+            assert out["video"].dtype == np.uint8
+            assert out["video"].ndim == 4

@@ -6,6 +6,11 @@ fine. This isolates the step from the pipeline: same flagship config, same
 frame geometry, synthetic data, configurable batch size.
 
 Usage: STEP_BATCH=8 python tools/step_at_batch.py
+
+NOTE: this is a FAULT-validation tool, not a throughput benchmark — each
+step ships freshly generated host arrays through the ~16 MB/s tunnel, so
+its ms/step is transfer-dominated and far below bench.py's numbers (which
+keep data device-resident). Read only rc/crash-or-not from it.
 """
 
 import os
