@@ -9,7 +9,12 @@ prints one JSON line. Run it next to bench.py whenever the kernel changes;
 record the pass in docs/PERF.md.
 
 Tolerances are bf16-scale (the kernel computes scores/softmax in f32 but
-streams q/k/v in bf16): max-abs 1e-2 forward, 5e-2 on gradients.
+streams q/k/v in bf16) and RELATIVE to the reference's own magnitude on
+both sides: the outputs are unnormalized (|out| reaches ~5 with sharp
+softmax at scale e^2, where one bf16 ulp is 0.03), so an absolute forward
+tolerance mislabels sub-ulp rounding as failure — the first on-chip run
+measured fwd_max_abs 0.010-0.014 with grad_rel 30-50x inside tolerance.
+Forward: 1e-2 relative; gradients: 5e-2 relative.
 """
 
 import json
@@ -82,6 +87,8 @@ def check_stage(name, heads, tokens, head_dim, n_kinds, rng):
     fwd_diff = float(
         jnp.max(jnp.abs(out_k.astype(jnp.float32) - out_r))
     )
+    fwd_scale = float(jnp.max(jnp.abs(out_r)))
+    rel_fwd = fwd_diff / max(fwd_scale, 1e-12)
 
     gk = jax.jit(jax.grad(kernel_loss, argnums=(0, 1, 2)))(q, k, v)
     gr = jax.jit(jax.grad(ref_loss, argnums=(0, 1, 2)))(q, k, v)
@@ -98,8 +105,10 @@ def check_stage(name, heads, tokens, head_dim, n_kinds, rng):
     return {
         "stage": name,
         "fwd_max_abs": round(fwd_diff, 6),
+        "fwd_rel_max": round(rel_fwd, 6),
+        "fwd_out_scale": round(fwd_scale, 3),
         "grad_rel_max": round(rel_grad, 6),
-        "ok": bool(fwd_diff < FWD_TOL and rel_grad < GRAD_TOL),
+        "ok": bool(rel_fwd < FWD_TOL and rel_grad < GRAD_TOL),
     }
 
 
