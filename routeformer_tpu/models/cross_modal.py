@@ -17,8 +17,11 @@ gaze encoder, gaze-video decoder (Q=gaze, KV=front-video features), and the
 main video encoder (reference ``models/routeformer.py:70-122``).
 """
 
+import math
+import os
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import nnx
 
@@ -32,6 +35,12 @@ from routeformer_tpu.models.layers import (
     PositionalEmbedding,
     ProbAttention,
     TokenEmbedding,
+)
+from routeformer_tpu.ops.fusion_stack import (
+    StackWeights,
+    fused_perceive_stack,
+    make_dropout_masks,
+    sample_count_matrices,
 )
 
 
@@ -61,6 +70,13 @@ class PerceiveEncoder(nnx.Module):
         # bf16 computation (params f32, LayerNorms f32) — the TPU autocast
         # role for the fusion stack; None keeps full f32.
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else None
+        self.d_model = d_model
+        self.n_heads = n_heads
+        self.factor = factor
+        self.d_ff = d_ff
+        self.dropout_rate = dropout
+        self.activation = activation
+        self.compute_bf16 = compute_dtype == "bfloat16"
 
         # The cross-modal TokenEmbedding keeps torch's default conv bias
         # (reference cross_modal_transformer.py:356-361), unlike the
@@ -106,12 +122,93 @@ class PerceiveEncoder(nnx.Module):
                 norm_layer=nnx.LayerNorm(d_model, rngs=rngs),
             )
         self.projection = nnx.Linear(d_model, out_channels, rngs=rngs)
+        # Dedicated stream for the fused-kernel path's sampling/dropout
+        # randomness (forked LAST so every other stream's key derivation is
+        # unchanged vs earlier checkpoints).
+        self.kernel_rngs = rngs.dropout.fork()
+
+    def _fused_kernel_mode(self) -> Optional[str]:
+        """'tpu' / 'interpret' when the fused stack kernel should run."""
+        if not self.scan_layers or self.d_model % self.n_heads:
+            return None
+        mode = os.getenv("ROUTEFORMER_FUSION_KERNEL", "auto")
+        if mode == "0":
+            return None
+        if os.getenv("ROUTEFORMER_PROBSPARSE", "masked") != "masked":
+            return None  # the kernel implements the masked formulation
+        if mode == "interpret":
+            return "interpret"
+        return "tpu" if jax.default_backend() == "tpu" else None
+
+    def _run_fused_stack(self, x: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+        layers = self.stacked_layers
+        att = layers.attention
+        n_layers = layers.norm1.scale[...].shape[0]
+        r, l, d = x.shape
+
+        # ProbSparse key sampling: eval reproduces the scan path's fixed
+        # PRNGKey(0) per layer; training draws fresh per-layer keys
+        # (reference cross_modal_transformer.py:96-117 uses a fresh
+        # torch.randint each call).
+        u_part = min(int(self.factor * math.ceil(math.log(l))), l)
+        if att.inner_attention.deterministic:
+            keys = jnp.broadcast_to(
+                jax.random.PRNGKey(0)[None], (n_layers, 2)
+            )
+        else:
+            keys = jax.random.split(self.kernel_rngs(), n_layers)
+        cnt = sample_count_matrices(keys, n_layers, l, l, u_part)
+
+        train_dropout = (
+            not layers.dropout.deterministic and self.dropout_rate > 0.0
+        )
+        masks = (
+            make_dropout_masks(
+                self.kernel_rngs(), n_layers, r, l, d, self.d_ff,
+                self.dropout_rate,
+            )
+            if train_dropout
+            else None
+        )
+
+        weights = StackWeights(
+            wq=att.query_projection.kernel[...],
+            bq=att.query_projection.bias[...],
+            wk=att.key_projection.kernel[...],
+            bk=att.key_projection.bias[...],
+            wv=att.value_projection.kernel[...],
+            bv=att.value_projection.bias[...],
+            wout=att.out_projection.kernel[...],
+            bout=att.out_projection.bias[...],
+            ln1_scale=layers.norm1.scale[...],
+            ln1_bias=layers.norm1.bias[...],
+            wff1=layers.ff1.kernel[...],
+            bff1=layers.ff1.bias[...],
+            wff2=layers.ff2.kernel[...],
+            bff2=layers.ff2.bias[...],
+            ln2_scale=layers.norm2.scale[...],
+            ln2_bias=layers.norm2.bias[...],
+        )
+        return fused_perceive_stack(
+            x, weights, cnt, masks,
+            heads=self.n_heads,
+            factor=self.factor,
+            dropout_rate=self.dropout_rate if train_dropout else 0.0,
+            activation=self.activation,
+            compute_bf16=self.compute_bf16,
+            interpret=interpret,
+        )
 
     def __call__(self, x_enc: jnp.ndarray):
         enc_out = self.value_embedding(x_enc) + self.position_embedding(x_enc)
-        if self.scan_layers:
-            import os
-
+        kernel_mode = self._fused_kernel_mode()
+        if kernel_mode is not None:
+            enc_out = self._run_fused_stack(
+                enc_out, interpret=kernel_mode == "interpret"
+            )
+            enc_out = self.norm(enc_out)
+            attns = None
+        elif self.scan_layers:
             unroll = int(os.getenv("ROUTEFORMER_FUSION_UNROLL", "1"))
 
             @nnx.scan(in_axes=(0, nnx.Carry), out_axes=nnx.Carry, unroll=unroll)

@@ -20,6 +20,13 @@ from routeformer_tpu.ops.attention import (
     dot_product_attention,
     prob_sparse_attention,
 )
+from routeformer_tpu.ops.fusion_stack import (
+    StackWeights,
+    fused_perceive_stack,
+    make_dropout_masks,
+    sample_count_matrices,
+    stack_reference,
+)
 from routeformer_tpu.ops.heatmap import overlay_heatmap_on_frame, rasterize_gaze_heatmap
 from routeformer_tpu.ops.image import (
     crop_horizontal,
@@ -33,6 +40,11 @@ __all__ = [
     "dot_product_attention",
     "prob_sparse_attention",
     "autocorrelation_attention",
+    "StackWeights",
+    "fused_perceive_stack",
+    "make_dropout_masks",
+    "sample_count_matrices",
+    "stack_reference",
     "rasterize_gaze_heatmap",
     "overlay_heatmap_on_frame",
     "remap",

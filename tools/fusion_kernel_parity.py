@@ -1,0 +1,127 @@
+"""On-chip parity check for the fused Perceive-stack kernel.
+
+Runs the Mosaic-compiled kernel (fwd + custom-VJP bwd) against the pure-XLA
+twin at the flagship fusion geometries (frame encoder L=65, video encoder
+L=160, gaze encoder L=40; d128/F256/H8, 8 layers) and prints one JSON line.
+Tolerances are relative and bf16-scale, like tools/tpu_parity.py.
+
+Usage: python tools/fusion_kernel_parity.py   (TPU)
+"""
+
+import json
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from routeformer_tpu.ops import fusion_stack as fs  # noqa: E402
+
+FWD_TOL = 1e-2
+GRAD_TOL = 5e-2
+
+
+def _weights(n, d, f, key):
+    ks = jax.random.split(key, 16)
+
+    def rnd(k, shape, s=0.2):
+        return jax.random.normal(k, shape, jnp.float32) * s
+
+    return fs.StackWeights(
+        wq=rnd(ks[0], (n, d, d)), bq=rnd(ks[1], (n, d)),
+        wk=rnd(ks[2], (n, d, d)), bk=rnd(ks[3], (n, d)),
+        wv=rnd(ks[4], (n, d, d)), bv=rnd(ks[5], (n, d)),
+        wout=rnd(ks[6], (n, d, d)), bout=rnd(ks[7], (n, d)),
+        ln1_scale=1.0 + rnd(ks[8], (n, d), 0.05), ln1_bias=rnd(ks[9], (n, d)),
+        wff1=rnd(ks[10], (n, d, f)), bff1=rnd(ks[11], (n, f)),
+        wff2=rnd(ks[12], (n, f, d)), bff2=rnd(ks[13], (n, d)),
+        ln2_scale=1.0 + rnd(ks[14], (n, d), 0.05), ln2_bias=rnd(ks[15], (n, d)),
+    )
+
+
+def check(name, r, l, d, f, n, train, key):
+    u = min(int(5 * math.ceil(math.log(l))), l)
+    w = _weights(n, d, f, key)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (r, l, d), jnp.float32)
+    cnt = fs.sample_count_matrices(jax.random.split(key, n), n, l, l, u)
+    p = 0.05 if train else 0.0
+    masks = (
+        fs.make_dropout_masks(jax.random.fold_in(key, 2), n, r, l, d, f, p)
+        if train
+        else None
+    )
+
+    def twin(x, wt):
+        return fs.stack_reference(
+            x, fs.StackWeights(*wt), cnt, masks, heads=8, u=u,
+            dropout_rate=p, compute_bf16=True,
+        )
+
+    def kern(x, wt):
+        return fs._fused_stack(x, wt, cnt, masks, 8, u, p, "gelu", True, False)
+
+    y_t = jax.jit(twin)(x, tuple(w))
+    y_k = jax.jit(kern)(x, tuple(w))
+    fwd_diff = float(jnp.max(jnp.abs(y_k - y_t)))
+    fwd_scale = max(float(jnp.max(jnp.abs(y_t))), 1e-12)
+
+    def loss_t(x, wt):
+        return jnp.sum(jnp.sin(twin(x, wt)))
+
+    def loss_k(x, wt):
+        return jnp.sum(jnp.sin(kern(x, wt)))
+
+    gt = jax.jit(jax.grad(loss_t, argnums=(0, 1)))(x, tuple(w))
+    gk = jax.jit(jax.grad(loss_k, argnums=(0, 1)))(x, tuple(w))
+    gx_diff = float(jnp.max(jnp.abs(gt[0] - gk[0])))
+    gx_scale = max(float(jnp.max(jnp.abs(gt[0]))), 1e-12)
+    gw_scale = max(
+        float(max(jnp.max(jnp.abs(a)) for a in gt[1])), 1e-12
+    )
+    gw_diff = float(max(jnp.max(jnp.abs(a - b)) for a, b in zip(gt[1], gk[1])))
+
+    rel_fwd = fwd_diff / fwd_scale
+    rel_gx = gx_diff / gx_scale
+    rel_gw = gw_diff / gw_scale
+    return {
+        "stage": name,
+        "fwd_rel_max": round(rel_fwd, 6),
+        "dx_rel_max": round(rel_gx, 6),
+        "dw_rel_max": round(rel_gw, 6),
+        "ok": bool(rel_fwd < FWD_TOL and rel_gx < GRAD_TOL and rel_gw < GRAD_TOL),
+    }
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    stages = [
+        check("frame_L65_eval", 384, 65, 128, 256, 8, False, key),
+        check("frame_L65_train", 384, 65, 128, 256, 8, True,
+              jax.random.fold_in(key, 10)),
+        check("video_L160_train", 16, 160, 128, 256, 8, True,
+              jax.random.fold_in(key, 20)),
+        check("gaze_L40_train", 16, 40, 128, 256, 8, True,
+              jax.random.fold_in(key, 30)),
+    ]
+    out = {
+        "metric": "fusion_stack_kernel_parity",
+        "backend": jax.default_backend(),
+        "ok": all(s["ok"] for s in stages),
+        "fwd_rel_tol": FWD_TOL,
+        "grad_rel_tol": GRAD_TOL,
+        "stages": stages,
+    }
+    print(json.dumps(out), flush=True)
+    return 0 if out["ok"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
