@@ -458,14 +458,14 @@ def _layer_bwd(x0, g, wl, cnt_l, masks_l, *, heads, u, dropout_rate,
         f2 = f2 * masks_l[2].astype(jnp.float32) * keep
     z = xn1 + f2
     dz, dg2_rows, db2_rows, _ = _ln_bwd(z, g2, g.astype(jnp.float32))
-    dg2 = jnp.sum(dg2_rows.reshape(c * l, d), axis=0)
-    db2 = jnp.sum(db2_rows.reshape(c * l, d), axis=0)
+    dg2 = jnp.sum(dg2_rows.reshape(c * l, d), axis=0, keepdims=True)
+    db2 = jnp.sum(db2_rows.reshape(c * l, d), axis=0, keepdims=True)
 
     df2 = dz
     if masks_l is not None:
         df2 = df2 * masks_l[2].astype(jnp.float32) * keep
     df2f = df2.reshape(c * l, d)
-    dbff2 = jnp.sum(df2f, axis=0)
+    dbff2 = jnp.sum(df2f, axis=0, keepdims=True)
     dwff2 = jax.lax.dot_general(
         a1d.astype(mm_dtype), df2f.astype(mm_dtype),
         (((0,), (0,)), ((), ())),
@@ -480,7 +480,7 @@ def _layer_bwd(x0, g, wl, cnt_l, masks_l, *, heads, u, dropout_rate,
     if masks_l is not None:
         da1 = da1 * masks_l[1].astype(jnp.float32).reshape(c * l, f) * keep
     df1 = da1 * _act_grad(f1, activation)
-    dbff1 = jnp.sum(df1, axis=0)
+    dbff1 = jnp.sum(df1, axis=0, keepdims=True)
     dwff1 = jax.lax.dot_general(
         xn1.astype(mm_dtype).reshape(c * l, d), df1.astype(mm_dtype),
         (((0,), (0,)), ((), ())),
@@ -493,14 +493,14 @@ def _layer_bwd(x0, g, wl, cnt_l, masks_l, *, heads, u, dropout_rate,
     ).reshape(c, l, d)
 
     dx1, dg1_rows, db1_rows, _ = _ln_bwd(x1, g1, dxn1)
-    dg1 = jnp.sum(dg1_rows.reshape(c * l, d), axis=0)
-    db1 = jnp.sum(db1_rows.reshape(c * l, d), axis=0)
+    dg1 = jnp.sum(dg1_rows.reshape(c * l, d), axis=0, keepdims=True)
+    db1 = jnp.sum(db1_rows.reshape(c * l, d), axis=0, keepdims=True)
 
     dnew = dx1
     if masks_l is not None:
         dnew = dnew * masks_l[0].astype(jnp.float32) * keep
     dnewf = dnew.reshape(c * l, d)
-    dbout = jnp.sum(dnewf, axis=0)
+    dbout = jnp.sum(dnewf, axis=0, keepdims=True)
     dwout = jax.lax.dot_general(
         att_merged.astype(mm_dtype).reshape(c * l, d), dnewf.astype(mm_dtype),
         (((0,), (0,)), ((), ())),
@@ -520,12 +520,22 @@ def _layer_bwd(x0, g, wl, cnt_l, masks_l, *, heads, u, dropout_rate,
         # where(selected, p @ v, mean(v))
         g_upd = jnp.where(selected, datt_h, 0.0)
         g_ctx = jnp.where(selected, 0.0, datt_h)
+        # dV = p^T g_upd + (1/L) ones^T g_ctx. Folding the context term
+        # into the same contraction (p + ones/L would be wrong — different
+        # cotangents) keeps both as batched matmuls: a (C, 1, Dh)
+        # keepdims-sum broadcast-add here is one of the compositions that
+        # SIGABRTs the Mosaic layout pass at full program size.
         dv_h = jax.lax.dot_general(
             p, g_upd,
             (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (C, L, Dh): sum_q p[q, k] g_upd[q, :]
-        dv_h = dv_h + jnp.sum(g_ctx, axis=1, keepdims=True) / np.float32(l)
+        ones_ll = jnp.full((1, l, l), 1.0 / np.float32(l), jnp.float32)
+        dv_h = dv_h + jax.lax.dot_general(
+            jnp.broadcast_to(ones_ll, (c, l, l)), g_ctx,
+            (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
         dp = jax.lax.dot_general(
             g_upd, v_hs[h],
             (((2,), (2,)), ((0,), (0,))),
@@ -551,9 +561,9 @@ def _layer_bwd(x0, g, wl, cnt_l, masks_l, *, heads, u, dropout_rate,
 
     dq, dk_, dv = merge(dq_hs), merge(dk_hs), merge(dv_hs)
     x0f = x0.astype(mm_dtype).reshape(c * l, d)
-    dbq = jnp.sum(dq, axis=0)
-    dbk = jnp.sum(dk_, axis=0)
-    dbv = jnp.sum(dv, axis=0)
+    dbq = jnp.sum(dq, axis=0, keepdims=True)
+    dbk = jnp.sum(dk_, axis=0, keepdims=True)
+    dbv = jnp.sum(dv, axis=0, keepdims=True)
     dwq = jax.lax.dot_general(
         x0f, dq.astype(mm_dtype), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -615,14 +625,20 @@ def _bwd_kernel(*refs, n_layers, heads, u, dropout_rate, activation,
         )
         # Sequential TPU grid => accumulate weight grads in the output
         # buffers (constant block index: one VMEM-resident buffer each).
+        # Writes stay rank>=2 via [i:i+1] slices — Mosaic SIGABRTs on
+        # rank-1 values/stores (bias grads are kept (1, X) upstream).
         for dw_ref, gr in zip(dw_refs, grads):
+            val = gr if gr.ndim == len(dw_ref.shape) else gr[None]
+
             @pl.when(first)
-            def _(dw_ref=dw_ref, gr=gr, i=i):
-                dw_ref[i] = gr.astype(dw_ref.dtype)
+            def _(dw_ref=dw_ref, val=val, i=i):
+                dw_ref[i : i + 1] = val.astype(dw_ref.dtype)
 
             @pl.when(jnp.logical_not(first))
-            def _(dw_ref=dw_ref, gr=gr, i=i):
-                dw_ref[i] = dw_ref[i] + gr.astype(dw_ref.dtype)
+            def _(dw_ref=dw_ref, val=val, i=i):
+                dw_ref[i : i + 1] = dw_ref[i : i + 1] + val.astype(
+                    dw_ref.dtype
+                )
     dx_ref[:] = g
 
 
