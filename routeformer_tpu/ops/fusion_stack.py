@@ -596,9 +596,17 @@ def _layer_bwd(x0, g, wl, cnt_l, masks_l, *, heads, u, dropout_rate,
     return dx0, grads
 
 
-def _bwd_kernel(*refs, n_layers, heads, u, dropout_rate, activation,
-                mm_dtype, train):
-    resid_ref = refs[0]
+def _bwd_layer_kernel(*refs, heads, u, dropout_rate, activation, mm_dtype,
+                      train):
+    """Backward of ONE layer over the row grid.
+
+    The unified all-layers backward compiled for eval but the train
+    variant's 8-layer x 8-head unrolled program OOM-killed the TPU
+    compile helper (SIGKILL); one pallas_call per layer keeps the program
+    1/N the size — and since every layer is the same jaxpr, Mosaic
+    compiles it ONCE and reuses it for all N layers.
+    """
+    x0_ref = refs[0]
     g_ref = refs[1]
     w_refs = refs[2:18]
     cnt_ref = refs[18]
@@ -610,36 +618,27 @@ def _bwd_kernel(*refs, n_layers, heads, u, dropout_rate, activation,
     dw_refs = refs[idx + 1 : idx + 17]
 
     first = pl.program_id(0) == 0
-    per_layer = _weights_list(n_layers, *w_refs)
+    wl = tuple(w[:] for w in w_refs)
+    masks_l = (m1_ref[:], m2_ref[:], m3_ref[:]) if train else None
 
-    g = g_ref[:].astype(jnp.float32)
-    for i in range(n_layers - 1, -1, -1):
-        x0 = resid_ref[i]
-        masks_l = (
-            (m1_ref[i], m2_ref[i], m3_ref[i]) if train else None
-        )
-        g, grads = _layer_bwd(
-            x0, g, per_layer[i], cnt_ref[i], masks_l,
-            heads=heads, u=u, dropout_rate=dropout_rate,
-            activation=activation, mm_dtype=mm_dtype,
-        )
-        # Sequential TPU grid => accumulate weight grads in the output
-        # buffers (constant block index: one VMEM-resident buffer each).
-        # Writes stay rank>=2 via [i:i+1] slices — Mosaic SIGABRTs on
-        # rank-1 values/stores (bias grads are kept (1, X) upstream).
-        for dw_ref, gr in zip(dw_refs, grads):
-            val = gr if gr.ndim == len(dw_ref.shape) else gr[None]
-
-            @pl.when(first)
-            def _(dw_ref=dw_ref, val=val, i=i):
-                dw_ref[i : i + 1] = val.astype(dw_ref.dtype)
-
-            @pl.when(jnp.logical_not(first))
-            def _(dw_ref=dw_ref, val=val, i=i):
-                dw_ref[i : i + 1] = dw_ref[i : i + 1] + val.astype(
-                    dw_ref.dtype
-                )
+    g, grads = _layer_bwd(
+        x0_ref[:], g_ref[:].astype(jnp.float32), wl, cnt_ref[:], masks_l,
+        heads=heads, u=u, dropout_rate=dropout_rate,
+        activation=activation, mm_dtype=mm_dtype,
+    )
     dx_ref[:] = g
+    # Sequential TPU grid => accumulate weight grads in the output
+    # buffers (constant block index: one VMEM-resident buffer each).
+    # Values stay rank>=2 — Mosaic SIGABRTs on rank-1 values/stores
+    # (bias grads are kept (1, X) upstream).
+    for dw_ref, gr in zip(dw_refs, grads):
+        @pl.when(first)
+        def _(dw_ref=dw_ref, gr=gr):
+            dw_ref[:] = gr.astype(dw_ref.dtype)
+
+        @pl.when(jnp.logical_not(first))
+        def _(dw_ref=dw_ref, gr=gr):
+            dw_ref[:] = dw_ref[:] + gr.astype(dw_ref.dtype)
 
 
 # --------------------------------------------------------------------- #
@@ -649,8 +648,16 @@ def _bwd_kernel(*refs, n_layers, heads, u, dropout_rate, activation,
 
 def _pick_chunk(r: int, l: int, heads: int, train: bool) -> int:
     """Row-chunk size: keep the (C, H, L, L) f32 score tensors (x3 live)
-    plus activations inside a ~6 MB budget — VMEM also holds all layers'
-    weights, masks and the pipeline's double buffers."""
+    plus activations inside a ~4 MB budget — VMEM also holds all layers'
+    weights, masks and the pipeline's double buffers.
+    ``ROUTEFORMER_FUSION_CHUNK`` overrides (power of two, on-chip tuning;
+    the backward pass still halves it)."""
+    import os
+
+    override = int(os.getenv("ROUTEFORMER_FUSION_CHUNK", "0"))
+    if override > 0:
+        override = 1 << (override.bit_length() - 1)  # floor to power of two
+        return max(1, min(override, 1 << (max(r, 1).bit_length() - 1)))
     budget = 4 * 1024 * 1024
     per_row = heads * l * l * 4 * 3 + l * 2048 * (2 if train else 1)
     c = max(1, budget // per_row)
@@ -780,63 +787,89 @@ def _fused_stack_vjp_bwd(heads, u, dropout_rate, activation, compute_bf16,
     gp = jnp.pad(g.astype(jnp.float32), ((0, r_pad - r), (0, 0), (0, 0)))
     w_cast = _cast_weights(StackWeights(*weights_tuple), mm_dtype)
     cnt = cnt.astype(jnp.float32)
-
-    operands = [resid, gp, *w_cast, cnt]
-    in_specs = [
-        pl.BlockSpec(
-            (n_layers, c, l, d), lambda i: (0, i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec((c, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        *[_full_spec(w) for w in w_cast],
-        _full_spec(cnt),
-    ]
+    wt = StackWeights(*weights_tuple)
+    f = wt.wff1.shape[-1]
     if train:
         mp = [
             jnp.pad(m, ((0, 0), (0, r_pad - m.shape[1]), (0, 0), (0, 0)))
             for m in masks3
         ]
-        operands += mp
-        in_specs += [
-            pl.BlockSpec(
-                (n_layers, c, l, m.shape[-1]),
-                lambda i: (0, i, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-            for m in mp
-        ]
 
-    wt = StackWeights(*weights_tuple)
+    # Per-layer bias/norm grads come out (1, X) (rank-2 for Mosaic) and
+    # are squeezed here; weight grads are their natural 2D shapes.
     out_shape = [jax.ShapeDtypeStruct((r_pad, l, d), jnp.float32)] + [
-        jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wt
+        jax.ShapeDtypeStruct(
+            w.shape[1:] if w.ndim == 3 else (1,) + w.shape[1:], jnp.float32
+        )
+        for w in wt
     ]
     out_specs = [
         pl.BlockSpec((c, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    ] + [_full_spec(w) for w in wt]
+    ] + [
+        pl.BlockSpec(
+            s.shape, lambda i, nd=len(s.shape): (0,) * nd,
+            memory_space=pltpu.VMEM,
+        )
+        for s in out_shape[1:]
+    ]
 
-    outs = pl.pallas_call(
-        functools.partial(
-            _bwd_kernel,
-            n_layers=n_layers, heads=heads, u=u, dropout_rate=dropout_rate,
-            activation=activation, mm_dtype=mm_dtype, train=train,
-        ),
-        grid=(r_pad // c,),
-        out_shape=out_shape,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=3 * 2 * r_pad * l * n_layers * (
-                4 * d * d + 2 * d * wt.wff1.shape[-1]
+    # One pallas_call per layer, python loop in reverse: the program is
+    # 1/N the size of the unified all-layers kernel (whose train variant
+    # OOM-killed the TPU compile helper) and — every layer being the same
+    # jaxpr — Mosaic compiles it once and reuses it N times. The carried
+    # cotangent g (R, L, D) round-trips HBM between layers: ~2 MB at
+    # flagship geometry, negligible next to the score traffic this kernel
+    # family eliminates.
+    kern = functools.partial(
+        _bwd_layer_kernel,
+        heads=heads, u=u, dropout_rate=dropout_rate,
+        activation=activation, mm_dtype=mm_dtype, train=train,
+    )
+    per_layer_grads = [None] * n_layers
+    for i in range(n_layers - 1, -1, -1):
+        operands = [resid[i], gp, *(w[i] for w in w_cast), cnt[i]]
+        in_specs = [
+            pl.BlockSpec(
+                (c, l, d), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
             ),
-            bytes_accessed=4 * r_pad * l * d * (3 + n_layers),
-            transcendentals=2 * r_pad * heads * l * l * n_layers,
-        ),
-    )(*operands)
+            pl.BlockSpec(
+                (c, l, d), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
+            ),
+            *[_full_spec(w[i]) for w in w_cast],
+            _full_spec(cnt[i]),
+        ]
+        if train:
+            operands += [m[i] for m in mp]
+            in_specs += [
+                pl.BlockSpec(
+                    (c, l, m.shape[-1]),
+                    lambda j: (j, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+                for m in mp
+            ]
+        outs = pl.pallas_call(
+            kern,
+            grid=(r_pad // c,),
+            out_shape=out_shape,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=3 * 2 * r_pad * l * (4 * d * d + 2 * d * f),
+                bytes_accessed=4 * r_pad * l * d * 4,
+                transcendentals=2 * r_pad * heads * l * l,
+            ),
+        )(*operands)
+        gp = outs[0]
+        per_layer_grads[i] = outs[1:]
 
-    dx = outs[0][:r]
+    dx = gp[:r]
     dw = StackWeights(*[
-        o.astype(w.dtype) for o, w in zip(outs[1:], wt)
+        jnp.stack([per_layer_grads[i][j] for i in range(n_layers)]).reshape(
+            w.shape
+        ).astype(w.dtype)
+        for j, w in enumerate(wt)
     ])
     dcnt = jnp.zeros_like(cnt)
     if masks3 is None:
