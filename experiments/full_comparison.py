@@ -85,6 +85,12 @@ MODEL_SET = os.getenv("MODEL_SET", "full")  # full | gps | flagship
 STEP_SIZE_SECONDS = 2
 USE_PATCHTST_BACKBONE = os.getenv("USE_PATCHTST_BACKBONE", "0") == "1"
 LIMIT_TRAIN_BATCHES = float(os.getenv("LIMIT_TRAIN_BATCHES", 1))
+# DR(eye)VE-only PCI-balanced binned sampling of the train split
+# (reference full_comparison.py:93-105)
+ENABLE_PCI_SPLIT = (
+    DATASET == "DREYEVE" and os.getenv("ENABLE_PCI_SPLIT", "0") == "1"
+)
+PCI_SPLIT_N_SAMPLES_PER_BIN = int(os.getenv("PCI_SPLIT_N_SAMPLES_PER_BIN", 200))
 
 DISCOUNTED_FACTOR = (
     {0: 0.97, 100: 0.98, 200: 0.99}
@@ -307,9 +313,15 @@ def build_data(with_video: bool, mesh=None, host_arrays: bool = False):
             from routeformer_tpu.io.dataset_dreyeve import DreyeveDataset
 
             # train uses min_pci=0, eval min_pci=MIN_PCI
-            # (reference full_comparison.py:80,726,747)
-            ds_train = DreyeveDataset(root_dir=DATASET_DIR, split="train",
-                                      min_pci=0, **common)
+            # (reference full_comparison.py:80,726,747); PCI-balanced
+            # binned sampling on the train split only, which replaces
+            # shuffling (reference :101-105,736-737,764)
+            ds_train = DreyeveDataset(
+                root_dir=DATASET_DIR, split="train", min_pci=0,
+                enable_pci_split=ENABLE_PCI_SPLIT,
+                pci_split_n_samples_per_bin=PCI_SPLIT_N_SAMPLES_PER_BIN,
+                **common,
+            )
             ds_val = DreyeveDataset(root_dir=DATASET_DIR, split="val",
                                     min_pci=MIN_PCI, **common)
         else:
@@ -330,7 +342,10 @@ def build_data(with_video: bool, mesh=None, host_arrays: bool = False):
             h2d_dedup=not host_arrays and os.getenv("H2D_DEDUP", "1") == "1",
             mesh=None if host_arrays else mesh,
         )
-        train = DataLoader(ds_train, batch_size=BATCH_SIZE, shuffle=True, **h2d)
+        # PCI-split draws its own balanced sample each epoch, so it
+        # replaces shuffling (reference full_comparison.py:764)
+        train = DataLoader(ds_train, batch_size=BATCH_SIZE,
+                           shuffle=not ENABLE_PCI_SPLIT, **h2d)
         val = DataLoader(ds_val, batch_size=BATCH_SIZE, shuffle=False, **h2d)
         return train, val
     from routeformer_tpu.io.synthetic import SyntheticDataset
