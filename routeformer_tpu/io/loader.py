@@ -60,6 +60,8 @@ class DataLoader:
         num_threads: int = 8,
         prefetch: int = 2,
         collate_fn: Optional[Callable] = None,
+        batch_transform: Optional[Callable] = None,
+        producers: int = 1,
         process_index: int = 0,
         process_count: int = 1,
         to_device: bool = False,
@@ -75,6 +77,24 @@ class DataLoader:
         self.num_threads = num_threads
         self.prefetch = prefetch
         self.collate = collate_fn or default_collate
+        # Host-side batch stage run INSIDE the prefetch pipeline (the
+        # tf.data-map role): feature-memo lookups, device placement, any
+        # per-batch host work overlaps the consumer's step instead of
+        # serializing with it. With ``producers > 1``, that stage is
+        # pipelined across batches (ordered — batch order is unchanged);
+        # the transform must then be thread-safe
+        # (DeviceVideoFeaturePrecomputer and the CachedBackbone family
+        # are).
+        self.batch_transform = batch_transform
+        self.producers = max(int(producers), 1)
+        if self.producers > 1 and h2d_dedup:
+            # the frame-store rings admit/evict per call — concurrent
+            # producer-side placement would interleave ring mutations
+            raise ValueError(
+                "producers > 1 is not supported with h2d_dedup (the "
+                "frame-store ring is a sequential structure); run the "
+                "dedup tier with one producer or drop h2d_dedup"
+            )
         self.process_index = process_index
         self.process_count = process_count
         # Issue the host->device transfer from the producer thread so it
@@ -227,16 +247,36 @@ class DataLoader:
 
             try:
                 with ThreadPool(self.num_threads) as pool:
-                    for batch_idx in batches:
-                        if stop.is_set():
-                            return
+
+                    def make(batch_idx):
+                        # sample assembly fans out on the shared inner
+                        # pool; collate/transform/placement run on the
+                        # calling producer thread
                         samples = pool.map(
-                            self.dataset.__getitem__, [int(i) for i in batch_idx]
+                            self.dataset.__getitem__,
+                            [int(i) for i in batch_idx],
                         )
                         batch = self.collate(samples)
+                        if self.batch_transform is not None:
+                            batch = self.batch_transform(batch)
                         if self.to_device:
                             batch = self._place(batch)
-                        out_q.put(batch)
+                        return batch
+
+                    if self.producers == 1:
+                        for batch_idx in batches:
+                            if stop.is_set():
+                                return
+                            out_q.put(make(batch_idx))
+                    else:
+                        # ordered pipeline across batches: producer k
+                        # transforms batch n+k while the consumer steps
+                        # batch n (imap preserves batch order)
+                        with ThreadPool(self.producers) as stage:
+                            for batch in stage.imap(make, batches):
+                                if stop.is_set():
+                                    return
+                                out_q.put(batch)
             except Exception as e:  # noqa: BLE001 — surface on the consumer side
                 out_q.put(e)
             finally:

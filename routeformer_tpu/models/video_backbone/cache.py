@@ -17,6 +17,7 @@ reference config.py:24-26).
 """
 
 import hashlib
+import threading
 from collections import OrderedDict
 from pathlib import Path
 from typing import Callable, Optional
@@ -251,6 +252,11 @@ class DeviceCachedBackbone:
         self._chunks: dict = {}
         self.frames_seen = 0
         self.frames_encoded = 0
+        # Ring resolve/admit, the donated feature-store swap, and the
+        # gather dispatch against the current store must be atomic per
+        # call: concurrent loader producers could otherwise dispatch a
+        # gather against a store buffer a parallel encode just donated.
+        self._lock = threading.Lock()
 
         graphdef, state = nnx.split(backbone)
 
@@ -317,9 +323,18 @@ class DeviceCachedBackbone:
 
         frames = np.ascontiguousarray(np.asarray(frames))
         n = frames.shape[0]
-        self.frames_seen += n
 
+        # hashing releases the GIL (hashlib, buffer >2 KB) and needs no
+        # shared state — keep it outside the lock so concurrent loader
+        # producers (DataLoader(batch_transform=..., producers>1)) overlap
         keys = hash_frames(frames)
+        with self._lock:
+            return self._resolve_and_gather(frames, keys, n)
+
+    def _resolve_and_gather(self, frames, keys, n):
+        import jax.numpy as jnp  # noqa: F401  (kept: jit closures below)
+
+        self.frames_seen += n
         idx, novel, needed = self._ring.resolve(keys)
 
         if novel:

@@ -90,6 +90,65 @@ class TestDataLoader:
         with pytest.raises(RuntimeError, match="boom"):
             list(loader)
 
+    def test_batch_transform_runs_in_pipeline(self):
+        calls = []
+
+        def tf(batch):
+            calls.append(float(batch["pci"][0]))
+            out = dict(batch)
+            out["doubled"] = batch["pci"] * 2
+            return out
+
+        loader = DataLoader(
+            ListDataset(8), batch_size=2, batch_transform=tf
+        )
+        batches = list(loader)
+        assert len(batches) == 4 == len(calls)
+        np.testing.assert_allclose(batches[1]["doubled"], [4.0, 6.0])
+
+    def test_multi_producer_order_and_bytes_match_serial(self):
+        def tf(batch):
+            time.sleep(0.01)  # make pipelining observable / racy if broken
+            out = dict(batch)
+            out["sum"] = batch["train"]["gps"].sum()
+            return out
+
+        serial = list(
+            DataLoader(ListDataset(12), batch_size=2, batch_transform=tf)
+        )
+        piped = list(
+            DataLoader(
+                ListDataset(12), batch_size=2, batch_transform=tf,
+                producers=3, prefetch=3,
+            )
+        )
+        assert len(serial) == len(piped)
+        for a, b in zip(serial, piped):
+            np.testing.assert_array_equal(a["pci"], b["pci"])
+            np.testing.assert_array_equal(a["sum"], b["sum"])
+            np.testing.assert_array_equal(
+                a["train"]["gps"], b["train"]["gps"]
+            )
+
+    def test_multi_producer_transform_error_propagates(self):
+        def tf(batch):
+            if float(batch["pci"][0]) >= 4:
+                raise ValueError("stage boom")
+            return batch
+
+        loader = DataLoader(
+            ListDataset(8), batch_size=2, batch_transform=tf, producers=2
+        )
+        with pytest.raises(ValueError, match="stage boom"):
+            list(loader)
+
+    def test_multi_producer_rejects_h2d_dedup(self):
+        with pytest.raises(ValueError, match="producers"):
+            DataLoader(
+                ListDataset(8), batch_size=2, producers=2,
+                to_device=True, h2d_dedup=True,
+            )
+
 
 class TestSampleCacheThreadSafety:
     def test_concurrent_fetch_no_selfheal(self, tmp_path):

@@ -319,6 +319,41 @@ class TestPrecomputedFeatures:
                 out, reference[start : start + 4], atol=1e-6
             )
 
+    def test_device_memo_concurrent_calls_stay_exact(self, rng, tmp_path):
+        # loader producers (DataLoader(batch_transform=..., producers>1))
+        # call the memo concurrently; the per-call lock keeps ring state
+        # and the donated feature-store swap consistent
+        from multiprocessing.pool import ThreadPool
+
+        from routeformer_tpu.models.video_backbone.cache import (
+            DeviceCachedBackbone,
+        )
+
+        model = self._model(tmp_path)
+        model.eval()
+        backbone = model.video_backbone
+        frames = rng.random((24, 8, 10, 3)).astype(np.float16)
+        serial = DeviceCachedBackbone(backbone, backbone.configs)
+        reference = np.asarray(serial(frames))
+
+        memo = DeviceCachedBackbone(backbone, backbone.configs)
+        chunks = [(s, frames[s : s + 4]) for s in range(0, 24, 4)]
+        with ThreadPool(4) as pool:
+            outs = pool.map(lambda c: (c[0], np.asarray(memo(c[1]))), chunks)
+        for start, out in outs:
+            np.testing.assert_allclose(
+                out, reference[start : start + 4], atol=1e-6,
+            )
+        # warm concurrent pass: no new encodes, identical features
+        encoded = memo.frames_encoded
+        with ThreadPool(4) as pool:
+            outs = pool.map(lambda c: (c[0], np.asarray(memo(c[1]))), chunks)
+        assert memo.frames_encoded == encoded
+        for start, out in outs:
+            np.testing.assert_allclose(
+                out, reference[start : start + 4], atol=1e-6,
+            )
+
     def test_device_memo_mixed_call_sizes(self, rng, tmp_path):
         # calls pad to one encode signature per geometry (chunk adoption):
         # smaller calls pad, a larger call adopts a new chunk — features

@@ -297,8 +297,23 @@ def _steady_phase(dataset, pre, step_fn, params, state, opt_state, epoch_idx):
     if pre is None:
         return None, None
 
+    def memo_place(batch):
+        """Feature-memo lookup + device placement, run inside the loader's
+        producer pipeline (producers=2): all host work and H2D transfers
+        for batch n+1 overlap the consumer's step on batch n, so the
+        steady epoch is step-bound instead of paying memo hashing +
+        non-video transfers serially (the round-4 on-chip gap: e2e_steady
+        95.8 vs step 233)."""
+        out = dict(batch)
+        for phase in ("train", "target"):
+            out[phase] = {
+                k: jnp.asarray(v) for k, v in pre(batch[phase]).items()
+            }
+        return out
+
     host_loader = DataLoader(
-        dataset, batch_size=BATCH, shuffle=False, num_threads=8, prefetch=2,
+        dataset, batch_size=BATCH, shuffle=False, num_threads=8, prefetch=3,
+        batch_transform=memo_place, producers=2,
     )
 
     def steady_epoch(epoch):
@@ -308,10 +323,7 @@ def _steady_phase(dataset, pre, step_fn, params, state, opt_state, epoch_idx):
         n = 0
         m = None
         for batch in host_loader:
-            inp = pre(batch["train"])
-            tgt = pre(batch["target"])
-            inp = {k: jnp.asarray(v) for k, v in inp.items()}
-            tgt = {k: jnp.asarray(v) for k, v in tgt.items()}
+            inp, tgt = batch["train"], batch["target"]
             params, state, opt_state, m = step_fn(
                 params, state, opt_state, inp, tgt, epoch_idx
             )

@@ -6,11 +6,20 @@ L=160, gaze encoder L=40; d128/F256/H8, 8 layers) and prints one JSON line.
 Tolerances are relative and bf16-scale, like tools/tpu_parity.py.
 
 Usage: python tools/fusion_kernel_parity.py   (TPU)
+
+``FUSION_PARITY_STAGES=frame_L65_eval,frame_L65_train`` limits the run to a
+stage subset: tunnel compiles of the fused kernel run 20+ min each, so a
+bounded run can cover the stages one invocation at a time — the persistent
+compilation cache makes later invocations resume where the last one died.
+Progress (per-phase compile/run timings) goes to stderr so an external
+watchdog can tell a slow compile from a hang.
 """
 
 import json
 import math
+import os
 import sys
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -27,6 +36,13 @@ from routeformer_tpu.ops import fusion_stack as fs  # noqa: E402
 
 FWD_TOL = 1e-2
 GRAD_TOL = 5e-2
+
+_T0 = time.monotonic()
+
+
+def _note(msg):
+    print(f"[parity +{time.monotonic() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def _weights(n, d, f, key):
@@ -65,13 +81,20 @@ def check(name, r, l, d, f, n, train, key):
             dropout_rate=p, compute_bf16=True,
         )
 
-    def kern(x, wt):
-        return fs._fused_stack(x, wt, cnt, masks, 8, u, p, "gelu", True, False)
+    interp = os.environ.get("FUSION_PARITY_INTERPRET", "0") == "1"
 
-    y_t = jax.jit(twin)(x, tuple(w))
-    y_k = jax.jit(kern)(x, tuple(w))
+    def kern(x, wt):
+        return fs._fused_stack(
+            x, wt, cnt, masks, 8, u, p, "gelu", True, interp
+        )
+
+    _note(f"{name}: twin fwd compile+run")
+    y_t = jax.block_until_ready(jax.jit(twin)(x, tuple(w)))
+    _note(f"{name}: kernel fwd compile+run")
+    y_k = jax.block_until_ready(jax.jit(kern)(x, tuple(w)))
     fwd_diff = float(jnp.max(jnp.abs(y_k - y_t)))
     fwd_scale = max(float(jnp.max(jnp.abs(y_t))), 1e-12)
+    _note(f"{name}: fwd rel {fwd_diff / fwd_scale:.3e}")
 
     def loss_t(x, wt):
         return jnp.sum(jnp.sin(twin(x, wt)))
@@ -79,8 +102,15 @@ def check(name, r, l, d, f, n, train, key):
     def loss_k(x, wt):
         return jnp.sum(jnp.sin(kern(x, wt)))
 
-    gt = jax.jit(jax.grad(loss_t, argnums=(0, 1)))(x, tuple(w))
-    gk = jax.jit(jax.grad(loss_k, argnums=(0, 1)))(x, tuple(w))
+    _note(f"{name}: twin grad compile+run")
+    gt = jax.block_until_ready(
+        jax.jit(jax.grad(loss_t, argnums=(0, 1)))(x, tuple(w))
+    )
+    _note(f"{name}: kernel grad compile+run")
+    gk = jax.block_until_ready(
+        jax.jit(jax.grad(loss_k, argnums=(0, 1)))(x, tuple(w))
+    )
+    _note(f"{name}: grads done")
     gx_diff = float(jnp.max(jnp.abs(gt[0] - gk[0])))
     gx_scale = max(float(jnp.max(jnp.abs(gt[0]))), 1e-12)
     gw_scale = max(
@@ -102,15 +132,23 @@ def check(name, r, l, d, f, n, train, key):
 
 def main():
     key = jax.random.PRNGKey(0)
-    stages = [
-        check("frame_L65_eval", 384, 65, 128, 256, 8, False, key),
-        check("frame_L65_train", 384, 65, 128, 256, 8, True,
-              jax.random.fold_in(key, 10)),
-        check("video_L160_train", 16, 160, 128, 256, 8, True,
-              jax.random.fold_in(key, 20)),
-        check("gaze_L40_train", 16, 40, 128, 256, 8, True,
-              jax.random.fold_in(key, 30)),
+    specs = [
+        ("frame_L65_eval", 384, 65, 128, 256, 8, False, key),
+        ("frame_L65_train", 384, 65, 128, 256, 8, True,
+         jax.random.fold_in(key, 10)),
+        ("video_L160_train", 16, 160, 128, 256, 8, True,
+         jax.random.fold_in(key, 20)),
+        ("gaze_L40_train", 16, 40, 128, 256, 8, True,
+         jax.random.fold_in(key, 30)),
     ]
+    only = os.environ.get("FUSION_PARITY_STAGES")
+    if only:
+        wanted = {s.strip() for s in only.split(",") if s.strip()}
+        unknown = wanted - {s[0] for s in specs}
+        if unknown:
+            raise SystemExit(f"unknown FUSION_PARITY_STAGES: {sorted(unknown)}")
+        specs = [s for s in specs if s[0] in wanted]
+    stages = [check(*s) for s in specs]
     out = {
         "metric": "fusion_stack_kernel_parity",
         "backend": jax.default_backend(),
