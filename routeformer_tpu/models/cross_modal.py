@@ -128,11 +128,18 @@ class PerceiveEncoder(nnx.Module):
         self.kernel_rngs = rngs.dropout.fork()
 
     def _fused_kernel_mode(self) -> Optional[str]:
-        """'tpu' / 'interpret' when the fused stack kernel should run."""
+        """'tpu' / 'interpret' when the fused stack kernel should run.
+
+        Opt-in (``ROUTEFORMER_FUSION_KERNEL=1``) until the kernel's on-chip
+        parity suite is green: the Mosaic-compiled path is CPU-interpret
+        exact, but axon-backend compiles of the full program have not yet
+        completed a validation pass, so the default stays on the proven
+        nnx-scan formulation.
+        """
         if not self.scan_layers or self.d_model % self.n_heads:
             return None
-        mode = os.getenv("ROUTEFORMER_FUSION_KERNEL", "auto")
-        if mode == "0":
+        mode = os.getenv("ROUTEFORMER_FUSION_KERNEL", "0")
+        if mode in ("0", "auto"):
             return None
         if os.getenv("ROUTEFORMER_PROBSPARSE", "masked") != "masked":
             return None  # the kernel implements the masked formulation

@@ -35,7 +35,7 @@ STEPS_PER_BLOCK = int(os.getenv("AB_STEPS", "10"))
 def _build(kernel_on: bool, cached: bool):
     import jax.numpy as jnp
 
-    os.environ["ROUTEFORMER_FUSION_KERNEL"] = "auto" if kernel_on else "0"
+    os.environ["ROUTEFORMER_FUSION_KERNEL"] = "1" if kernel_on else "0"
     from __graft_entry__ import _build_model, _flagship_config, _synthetic
     from routeformer_tpu.models.video_backbone.cache import (
         VideoFeaturePrecomputer,
