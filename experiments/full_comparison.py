@@ -491,6 +491,32 @@ def main():
             batch["target"] = precompute(batch["target"])
         return batch
 
+    # Run the prepare stage (video split + embedding precompute) INSIDE the
+    # loaders' prefetch pipeline so its host work overlaps the train step
+    # instead of serializing with it. The single-device device memo is
+    # thread-safe (per-call lock), so it defaults to two pipelined
+    # producers; the host cache and the mesh memo keep one producer
+    # (sequential stage, still off the consumer thread). LOADER_PRODUCERS
+    # overrides.
+    from routeformer_tpu.io.loader import DataLoader
+
+    default_producers = 2 if emb_mode == "device" and mesh is None else 1
+    producers = int(os.getenv("LOADER_PRODUCERS", str(default_producers)))
+    prepared_in_loader = set()
+    for data in (train_data, val_data):
+        if isinstance(data, DataLoader):
+            data.set_batch_stage(prepare, producers=producers)
+            prepared_in_loader.add(id(data))
+
+    def iter_prepared(data, epoch, skip=0):
+        """Batches with `prepare` applied exactly once (loader-side when
+        the source is a DataLoader, else here)."""
+        if id(data) in prepared_in_loader:
+            yield from iter_batches(data, epoch, skip)
+        else:
+            for b in iter_batches(data, epoch, skip):
+                yield prepare(b)
+
     def iter_batches(data, epoch, skip=0):
         if hasattr(data, "set_epoch"):  # DataLoader
             data.set_epoch(epoch, start_batch=skip)
@@ -524,11 +550,10 @@ def main():
     for epoch in range(start_epoch, EPOCHS):
         trainer.epoch = epoch
         skip = start_batch if epoch == start_epoch else 0
-        for j, batch in enumerate(iter_batches(train_data, epoch, skip)):
+        for j, batch in enumerate(iter_prepared(train_data, epoch, skip)):
             i = skip + j
             if max_train_batches is not None and i >= max_train_batches:
                 break
-            batch = prepare(batch)
             metrics = trainer.training_step(batch)
             if i % 10 == 0:
                 metrics_logger.log(metrics, epoch * len(train_data) + i, "train")
@@ -537,9 +562,7 @@ def main():
         # Epoch-level aggregation: per-sample arrays accumulate over every
         # val batch and are bucketed once (reference full_comparison.py:
         # 645-651 sync_dist epoch reduction) — NOT last-batch-wins.
-        val_metrics = trainer.evaluate(
-            (prepare(b) for b in iter_batches(val_data, epoch)), "val"
-        )
+        val_metrics = trainer.evaluate(iter_prepared(val_data, epoch), "val")
         metrics_logger.log(val_metrics, epoch, "val")
         ckpt.maybe_save(trainer, val_metrics, epoch)
         if save_every:

@@ -85,16 +85,9 @@ class DataLoader:
         # the transform must then be thread-safe
         # (DeviceVideoFeaturePrecomputer and the CachedBackbone family
         # are).
-        self.batch_transform = batch_transform
-        self.producers = max(int(producers), 1)
-        if self.producers > 1 and h2d_dedup:
-            # the frame-store rings admit/evict per call — concurrent
-            # producer-side placement would interleave ring mutations
-            raise ValueError(
-                "producers > 1 is not supported with h2d_dedup (the "
-                "frame-store ring is a sequential structure); run the "
-                "dedup tier with one producer or drop h2d_dedup"
-            )
+        self.batch_transform = None
+        self.producers = 1
+        self.set_batch_stage(batch_transform, producers, _h2d_dedup=h2d_dedup)
         self.process_index = process_index
         self.process_count = process_count
         # Issue the host->device transfer from the producer thread so it
@@ -130,6 +123,31 @@ class DataLoader:
                     budget_bytes=dedup_budget_bytes
                 )
         self._epoch = 0
+
+    def set_batch_stage(
+        self,
+        transform: Optional[Callable],
+        producers: int = 1,
+        _h2d_dedup: Optional[bool] = None,
+    ):
+        """(Re)configure the producer-side batch stage after construction.
+
+        Lets a driver attach the per-batch host stage (feature-memo lookup,
+        video split, …) to loaders built earlier — the stage then runs
+        inside the prefetch pipeline instead of serializing with the
+        consumer's step. Validates the same invariants as ``__init__``."""
+        dedup = self.h2d_dedup if _h2d_dedup is None else _h2d_dedup
+        producers = max(int(producers), 1)
+        if producers > 1 and dedup:
+            # the frame-store rings admit/evict per call — concurrent
+            # producer-side placement would interleave ring mutations
+            raise ValueError(
+                "producers > 1 is not supported with h2d_dedup (the "
+                "frame-store ring is a sequential structure); run the "
+                "dedup tier with one producer or drop h2d_dedup"
+            )
+        self.batch_transform = transform
+        self.producers = producers
 
     def _place(self, batch: dict) -> dict:
         """Producer-side device placement, optionally frame-deduplicated."""

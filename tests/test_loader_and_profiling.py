@@ -149,6 +149,27 @@ class TestDataLoader:
                 to_device=True, h2d_dedup=True,
             )
 
+    def test_set_batch_stage_post_construction(self):
+        # the driver attaches the prepare stage after loaders are built
+        loader = DataLoader(ListDataset(8), batch_size=2)
+
+        def tf(batch):
+            out = dict(batch)
+            out["tagged"] = batch["pci"] + 100
+            return out
+
+        loader.set_batch_stage(tf, producers=2)
+        batches = list(loader)
+        assert all("tagged" in b for b in batches)
+        np.testing.assert_allclose(batches[0]["tagged"], [100.0, 101.0])
+        # re-validation applies to the configured loader state too
+        dedup = DataLoader(
+            ListDataset(8), batch_size=2, to_device=True, h2d_dedup=True
+        )
+        with pytest.raises(ValueError, match="producers"):
+            dedup.set_batch_stage(tf, producers=2)
+        dedup.set_batch_stage(tf, producers=1)  # one producer is fine
+
 
 class TestSampleCacheThreadSafety:
     def test_concurrent_fetch_no_selfheal(self, tmp_path):
