@@ -3,7 +3,11 @@
 Runs the Mosaic-compiled kernel (fwd + custom-VJP bwd) against the pure-XLA
 twin at the flagship fusion geometries (frame encoder L=65, video encoder
 L=160, gaze encoder L=40; d128/F256/H8, 8 layers) and prints one JSON line.
-Tolerances are relative and bf16-scale, like tools/tpu_parity.py.
+Both the kernel and the bf16 twin are scored against the f32 reference; a
+stage passes when the kernel's error stays within ``ORACLE_MARGIN`` of the
+twin's own bf16 error (or under the absolute tolerance) — two bf16
+programs that round differently drift apart through 8 layers, so
+kernel-vs-twin distance alone is not a parity signal.
 
 Usage: python tools/fusion_kernel_parity.py   (TPU)
 
@@ -36,6 +40,14 @@ from routeformer_tpu.ops import fusion_stack as fs  # noqa: E402
 
 FWD_TOL = 1e-2
 GRAD_TOL = 5e-2
+# The fused kernel and the bf16 XLA twin round differently through 8
+# layers, so their mutual distance compounds past any fixed bf16-scale
+# tolerance (measured 1.18e-2 at L=65 eval). Parity therefore means "the
+# kernel is as accurate as the twin": both are measured against the f32
+# reference (compute_bf16=False — compiles in seconds; only Mosaic kernel
+# compiles are tunnel-slow) and the kernel must stay within ORACLE_MARGIN
+# of the twin's own bf16 error, or under the absolute tolerance.
+ORACLE_MARGIN = 1.5
 
 _T0 = time.monotonic()
 
@@ -81,6 +93,12 @@ def check(name, r, l, d, f, n, train, key):
             dropout_rate=p, compute_bf16=True,
         )
 
+    def oracle(x, wt):
+        return fs.stack_reference(
+            x, fs.StackWeights(*wt), cnt, masks, heads=8, u=u,
+            dropout_rate=p, compute_bf16=False,
+        )
+
     interp = os.environ.get("FUSION_PARITY_INTERPRET", "0") == "1"
 
     def kern(x, wt):
@@ -90,14 +108,23 @@ def check(name, r, l, d, f, n, train, key):
 
     _note(f"{name}: twin fwd compile+run")
     y_t = jax.block_until_ready(jax.jit(twin)(x, tuple(w)))
+    _note(f"{name}: oracle (f32 twin) fwd compile+run")
+    y_o = jax.block_until_ready(jax.jit(oracle)(x, tuple(w)))
     _note(f"{name}: kernel fwd compile+run")
     y_k = jax.block_until_ready(jax.jit(kern)(x, tuple(w)))
-    fwd_diff = float(jnp.max(jnp.abs(y_k - y_t)))
-    fwd_scale = max(float(jnp.max(jnp.abs(y_t))), 1e-12)
-    _note(f"{name}: fwd rel {fwd_diff / fwd_scale:.3e}")
+    fwd_scale = max(float(jnp.max(jnp.abs(y_o))), 1e-12)
+    fwd_kernel = float(jnp.max(jnp.abs(y_k - y_o))) / fwd_scale
+    fwd_twin = float(jnp.max(jnp.abs(y_t - y_o))) / fwd_scale
+    _note(
+        f"{name}: fwd rel vs oracle — kernel {fwd_kernel:.3e}, "
+        f"twin {fwd_twin:.3e}"
+    )
 
     def loss_t(x, wt):
         return jnp.sum(jnp.sin(twin(x, wt)))
+
+    def loss_o(x, wt):
+        return jnp.sum(jnp.sin(oracle(x, wt)))
 
     def loss_k(x, wt):
         return jnp.sum(jnp.sin(kern(x, wt)))
@@ -106,27 +133,50 @@ def check(name, r, l, d, f, n, train, key):
     gt = jax.block_until_ready(
         jax.jit(jax.grad(loss_t, argnums=(0, 1)))(x, tuple(w))
     )
+    _note(f"{name}: oracle grad compile+run")
+    go = jax.block_until_ready(
+        jax.jit(jax.grad(loss_o, argnums=(0, 1)))(x, tuple(w))
+    )
     _note(f"{name}: kernel grad compile+run")
     gk = jax.block_until_ready(
         jax.jit(jax.grad(loss_k, argnums=(0, 1)))(x, tuple(w))
     )
     _note(f"{name}: grads done")
-    gx_diff = float(jnp.max(jnp.abs(gt[0] - gk[0])))
-    gx_scale = max(float(jnp.max(jnp.abs(gt[0]))), 1e-12)
+    gx_scale = max(float(jnp.max(jnp.abs(go[0]))), 1e-12)
+    gx_kernel = float(jnp.max(jnp.abs(gk[0] - go[0]))) / gx_scale
+    gx_twin = float(jnp.max(jnp.abs(gt[0] - go[0]))) / gx_scale
     gw_scale = max(
-        float(max(jnp.max(jnp.abs(a)) for a in gt[1])), 1e-12
+        float(max(jnp.max(jnp.abs(a)) for a in go[1])), 1e-12
     )
-    gw_diff = float(max(jnp.max(jnp.abs(a - b)) for a, b in zip(gt[1], gk[1])))
+    gw_kernel = (
+        float(max(jnp.max(jnp.abs(a - b)) for a, b in zip(gk[1], go[1])))
+        / gw_scale
+    )
+    gw_twin = (
+        float(max(jnp.max(jnp.abs(a - b)) for a, b in zip(gt[1], go[1])))
+        / gw_scale
+    )
+    _note(
+        f"{name}: grad rel vs oracle — dx kernel {gx_kernel:.3e} twin "
+        f"{gx_twin:.3e}; dw kernel {gw_kernel:.3e} twin {gw_twin:.3e}"
+    )
 
-    rel_fwd = fwd_diff / fwd_scale
-    rel_gx = gx_diff / gx_scale
-    rel_gw = gw_diff / gw_scale
+    def _ok(kernel_err, twin_err, tol):
+        return kernel_err < max(tol, ORACLE_MARGIN * twin_err)
+
     return {
         "stage": name,
-        "fwd_rel_max": round(rel_fwd, 6),
-        "dx_rel_max": round(rel_gx, 6),
-        "dw_rel_max": round(rel_gw, 6),
-        "ok": bool(rel_fwd < FWD_TOL and rel_gx < GRAD_TOL and rel_gw < GRAD_TOL),
+        "fwd_rel_max": round(fwd_kernel, 6),
+        "fwd_twin_rel_max": round(fwd_twin, 6),
+        "dx_rel_max": round(gx_kernel, 6),
+        "dx_twin_rel_max": round(gx_twin, 6),
+        "dw_rel_max": round(gw_kernel, 6),
+        "dw_twin_rel_max": round(gw_twin, 6),
+        "ok": bool(
+            _ok(fwd_kernel, fwd_twin, FWD_TOL)
+            and _ok(gx_kernel, gx_twin, GRAD_TOL)
+            and _ok(gw_kernel, gw_twin, GRAD_TOL)
+        ),
     }
 
 
@@ -155,6 +205,7 @@ def main():
         "ok": all(s["ok"] for s in stages),
         "fwd_rel_tol": FWD_TOL,
         "grad_rel_tol": GRAD_TOL,
+        "oracle_margin": ORACLE_MARGIN,
         "stages": stages,
     }
     print(json.dumps(out), flush=True)
