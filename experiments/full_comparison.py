@@ -500,18 +500,24 @@ def main():
     # overrides.
     from routeformer_tpu.io.loader import DataLoader
 
-    default_producers = 2 if emb_mode == "device" and mesh is None else 1
+    # Pipelined producers only when the device memo is ACTUALLY active
+    # (precompute set): gating on the raw env value alone would request
+    # producers=2 for non-flagship sets whose loaders still run the
+    # h2d_dedup tier — a configuration set_batch_stage rejects.
+    default_producers = (
+        2
+        if precompute is not None and emb_mode == "device" and mesh is None
+        else 1
+    )
     producers = int(os.getenv("LOADER_PRODUCERS", str(default_producers)))
-    prepared_in_loader = set()
     for data in (train_data, val_data):
         if isinstance(data, DataLoader):
             data.set_batch_stage(prepare, producers=producers)
-            prepared_in_loader.add(id(data))
 
     def iter_prepared(data, epoch, skip=0):
         """Batches with `prepare` applied exactly once (loader-side when
         the source is a DataLoader, else here)."""
-        if id(data) in prepared_in_loader:
+        if isinstance(data, DataLoader):
             yield from iter_batches(data, epoch, skip)
         else:
             for b in iter_batches(data, epoch, skip):

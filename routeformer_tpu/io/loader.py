@@ -87,7 +87,12 @@ class DataLoader:
         # are).
         self.batch_transform = None
         self.producers = 1
-        self.set_batch_stage(batch_transform, producers, _h2d_dedup=h2d_dedup)
+        # validate against the EFFECTIVE dedup flag (dedup is inert without
+        # to_device — see self.h2d_dedup below), so the constructor and a
+        # later set_batch_stage() agree about the same configuration
+        self.set_batch_stage(
+            batch_transform, producers, _h2d_dedup=h2d_dedup and to_device
+        )
         self.process_index = process_index
         self.process_count = process_count
         # Issue the host->device transfer from the producer thread so it
@@ -287,11 +292,36 @@ class DataLoader:
                                 return
                             out_q.put(make(batch_idx))
                     else:
-                        # ordered pipeline across batches: producer k
+                        # Ordered pipeline across batches: producer k
                         # transforms batch n+k while the consumer steps
-                        # batch n (imap preserves batch order)
+                        # batch n. Submission is bounded (apply_async with
+                        # at most producers+prefetch tasks in flight) —
+                        # imap would enqueue the WHOLE epoch up front and
+                        # buffer finished batches unboundedly, defeating
+                        # the prefetch bound and running device placement
+                        # arbitrarily far ahead of the consumer.
+                        from collections import deque
+
                         with ThreadPool(self.producers) as stage:
-                            for batch in stage.imap(make, batches):
+                            pending: deque = deque()
+                            max_inflight = self.producers + self.prefetch
+                            todo = iter(batches)
+                            exhausted = False
+                            while True:
+                                while (
+                                    not exhausted
+                                    and len(pending) < max_inflight
+                                ):
+                                    nxt = next(todo, None)
+                                    if nxt is None:
+                                        exhausted = True
+                                    else:
+                                        pending.append(
+                                            stage.apply_async(make, (nxt,))
+                                        )
+                                if not pending:
+                                    break
+                                batch = pending.popleft().get()
                                 if stop.is_set():
                                     return
                                 out_q.put(batch)

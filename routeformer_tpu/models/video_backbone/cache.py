@@ -30,7 +30,12 @@ logger = get_logger("video_backbone.cache")
 
 
 class EmbeddingCache:
-    """Two-tier (RAM + zstd disk) cache of per-frame embeddings."""
+    """Two-tier (RAM + zstd disk) cache of per-frame embeddings.
+
+    Thread-safe for concurrent pipelined producers (io/loader.py
+    ``producers > 1``): frame hashing runs outside the lock, the RAM-tier
+    mutation and the backbone compute inside it — same discipline as
+    DeviceCachedBackbone."""
 
     def __init__(
         self,
@@ -45,6 +50,7 @@ class EmbeddingCache:
         self.dtype = dtype
         self._memory: OrderedDict = OrderedDict()
         self._memory_bytes = 0
+        self._lock = threading.RLock()
         self._disk = None
         if cache_dir is not None:
             from routeformer_tpu.io.cache import SampleCache
@@ -64,8 +70,13 @@ class EmbeddingCache:
         return h.hexdigest()
 
     def _remember(self, key: str, value: np.ndarray):
+        # re-remembering a key (e.g. a batch holding the same frame twice)
+        # replaces the entry — drop the old bytes or the accounting drifts
+        # upward and evicts prematurely
+        old = self._memory.pop(key, None)
+        if old is not None:
+            self._memory_bytes -= old.nbytes
         self._memory[key] = value
-        self._memory.move_to_end(key)
         self._memory_bytes += value.nbytes
         while self._memory_bytes > self.max_memory_bytes and self._memory:
             _, evicted = self._memory.popitem(last=False)
@@ -77,31 +88,32 @@ class EmbeddingCache:
         """Per-batch lookup: only cache-missing frames go through the
         backbone (the torchcache behavior)."""
         n = frames.shape[0]
-        keys = [self.key(frames[i]) for i in range(n)]
-        out: list = [None] * n
-        missing = []
-        for i, k in enumerate(keys):
-            if k in self._memory:
-                self._memory.move_to_end(k)
-                out[i] = self._memory[k]
-                continue
-            if self._disk is not None:
-                hit = self._disk.fetch(k)
-                if hit is not None:
-                    out[i] = hit
-                    self._remember(k, hit)
+        keys = [self.key(frames[i]) for i in range(n)]  # outside the lock
+        with self._lock:
+            out: list = [None] * n
+            missing = []
+            for i, k in enumerate(keys):
+                if k in self._memory:
+                    self._memory.move_to_end(k)
+                    out[i] = self._memory[k]
                     continue
-            missing.append(i)
-
-        if missing:
-            computed = np.asarray(compute(frames[np.asarray(missing)]))
-            computed = computed.astype(self.dtype)
-            for j, i in enumerate(missing):
-                value = computed[j]
-                out[i] = value
-                self._remember(keys[i], value)
                 if self._disk is not None:
-                    self._disk.push(keys[i], value)
+                    hit = self._disk.fetch(k)
+                    if hit is not None:
+                        out[i] = hit
+                        self._remember(k, hit)
+                        continue
+                missing.append(i)
+
+            if missing:
+                computed = np.asarray(compute(frames[np.asarray(missing)]))
+                computed = computed.astype(self.dtype)
+                for j, i in enumerate(missing):
+                    value = computed[j]
+                    out[i] = value
+                    self._remember(keys[i], value)
+                    if self._disk is not None:
+                        self._disk.push(keys[i], value)
         return np.stack([np.asarray(o) for o in out])
 
     @property

@@ -130,6 +130,53 @@ class TestDataLoader:
                 a["train"]["gps"], b["train"]["gps"]
             )
 
+    def test_multi_producer_bounded_runahead(self):
+        """Pipelined producers must not run arbitrarily far ahead of the
+        consumer: in-flight prepared batches are bounded by
+        producers + 2*prefetch + 1 (apply_async submission bound + out_q
+        + the batch being consumed). The earlier imap-based stage prepared
+        the WHOLE epoch ahead of a slow consumer."""
+        import threading
+
+        prepared = 0
+        lock = threading.Lock()
+
+        def tf(b):
+            nonlocal prepared
+            with lock:
+                prepared += 1
+            return b
+
+        n_producers, prefetch = 2, 2
+        loader = DataLoader(
+            ListDataset(64),
+            batch_size=2,
+            batch_transform=tf,
+            producers=n_producers,
+            prefetch=prefetch,
+        )
+        consumed = 0
+        max_ahead = 0
+        for _ in loader:
+            time.sleep(0.005)  # slow consumer: producers race ahead
+            consumed += 1
+            max_ahead = max(max_ahead, prepared - consumed)
+        assert consumed == 32
+        assert max_ahead <= n_producers + 2 * prefetch + 1
+
+    def test_multi_producer_ok_with_inert_dedup(self):
+        """h2d_dedup without to_device is inert (no frame router exists);
+        the constructor must validate against the EFFECTIVE flag and
+        accept pipelined producers."""
+        loader = DataLoader(
+            ListDataset(8),
+            batch_size=2,
+            producers=2,
+            h2d_dedup=True,
+            to_device=False,
+        )
+        assert len(list(loader)) == 4
+
     def test_multi_producer_transform_error_propagates(self):
         def tf(batch):
             if float(batch["pci"][0]) >= 4:

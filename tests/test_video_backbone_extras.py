@@ -107,6 +107,45 @@ class TestEmbeddingCache:
         np.testing.assert_allclose(out1, np.asarray(out2, dtype=np.float32), atol=1e-2)
         assert not calls
 
+    def test_concurrent_producers_consistent(self, rng):
+        """Pipelined loader producers (io/loader.py producers>1) hit the
+        host cache from multiple threads: results must stay correct and
+        the RAM-tier byte accounting exact (it drives eviction)."""
+        import threading
+
+        cache = EmbeddingCache(module_hash="m1", max_memory_bytes=1e9)
+        pool = rng.uniform(size=(16, 4, 4, 3)).astype(np.float32)
+
+        def compute(missing):
+            return missing.mean(axis=(1, 2))
+
+        expected = pool.mean(axis=(1, 2)).astype(np.dtype("bfloat16"))
+        errors = []
+
+        def worker(seed):
+            r = np.random.default_rng(seed)
+            for _ in range(20):
+                idx = r.integers(0, 16, size=4)
+                out = cache.get_or_compute(pool[idx], compute)
+                if not np.allclose(
+                    np.asarray(out, np.float32),
+                    np.asarray(expected[idx], np.float32),
+                    atol=1e-2,
+                ):
+                    errors.append(idx)
+
+        threads = [threading.Thread(target=worker, args=(s,)) for s in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        # exactly 16 unique frames cached; accounting matches contents
+        assert len(cache._memory) == 16
+        assert cache.memory_bytes == sum(
+            v.nbytes for v in cache._memory.values()
+        )
+
     def test_cached_backbone_wrapper(self, rng):
         cfg = TimmBackboneConfig(model_type="vit_tiny_test", cache_enabled=True)
         backbone = TimmBackbone(cfg, rngs=nnx.Rngs(0))
