@@ -32,6 +32,17 @@ and e2e phases run. Env knobs: BENCH_DEADLINE_S (total budget, default
 10800), BENCH_PROBE_TIMEOUT_S (per probe attempt, default 600),
 BENCH_PROBE_BACKOFF_S (between probes, default 120),
 ROUTEFORMER_BENCH_E2E=0 (skip e2e).
+
+Host-quiescence guard (round-5: two consecutive official artifacts were
+contaminated/truncated by concurrent host work on this SINGLE-CPU host —
+steady read 85 instead of 233 while a pytest run shared the core): before
+each device phase the orchestrator waits (bounded by BENCH_QUIET_BUDGET_S,
+default 900) for the 1-min loadavg to fall under BENCH_QUIET_LOAD (default
+0.8), and records the loadavg actually observed into the artifact
+(``host_load_pre_core`` / ``host_load_pre_e2e`` + ``host_quiesce_wait_s``)
+so the judge can verify the measurement window was quiet. The phases also
+record loadavg around their own timing loops (``host_load_steady`` from
+bench_core, ``host_load`` in the e2e steady detail).
 """
 
 import json
@@ -68,12 +79,50 @@ print(json.dumps({"probe_ok": True,
 """
 
 
+QUIET_LOAD = float(os.getenv("BENCH_QUIET_LOAD", "0.8"))
+QUIET_BUDGET_S = float(os.getenv("BENCH_QUIET_BUDGET_S", "900"))
+
+
 def _remaining() -> float:
     return DEADLINE_S - (time.time() - T0)
 
 
 def _emit():
     print(json.dumps(RESULT), flush=True)
+
+
+def wait_quiet(tag: str) -> None:
+    """Block (bounded) until the host is quiet; record what was observed.
+
+    On this 1-CPU host any concurrent process corrupts device timings
+    (dispatch is host-bound, ~68 ms/step under load — CLAUDE.md round-4
+    note), so each device phase asserts quiescence first. The observed
+    loadavg triple lands in the artifact either way: a high recorded load
+    marks the phase's numbers as contaminated rather than hiding it."""
+    t0 = time.time()
+    load = os.getloadavg()
+    while load[0] > QUIET_LOAD and time.time() - t0 < min(
+        QUIET_BUDGET_S, max(_remaining() - 600, 0)
+    ):
+        print(
+            f"host busy (load {load[0]:.2f} > {QUIET_LOAD}); waiting for "
+            f"quiescence before {tag}",
+            file=sys.stderr,
+        )
+        budget_left = min(
+            QUIET_BUDGET_S, max(_remaining() - 600, 0)
+        ) - (time.time() - t0)
+        time.sleep(max(min(30.0, budget_left), 1.0))
+        load = os.getloadavg()
+    RESULT[f"host_load_{tag}"] = [round(v, 3) for v in load]
+    waited = round(time.time() - t0, 1)
+    if waited > 1:
+        RESULT["host_quiesce_wait_s"] = (
+            RESULT.get("host_quiesce_wait_s", 0.0) + waited
+        )
+    if load[0] > QUIET_LOAD:
+        RESULT["host_quiesce_timeout"] = True
+    _emit()
 
 
 def _run_phase(cmd, timeout, on_json) -> int:
@@ -216,6 +265,7 @@ def main():
         _finalize_vs_baseline()
         _emit()
         return
+    wait_quiet("pre_core")
     ok = core_phase()
     if not ok and _remaining() > 1200:
         # service may have died mid-phase: re-probe, retry once
@@ -224,6 +274,7 @@ def main():
             core_phase()
     _finalize_vs_baseline()
     _emit()
+    wait_quiet("pre_e2e")
     e2e_phase()
     _finalize_vs_baseline()
     _emit()

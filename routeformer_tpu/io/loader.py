@@ -262,7 +262,10 @@ class DataLoader:
             batches = batches[start:]
             self._start_batch = 0  # one-shot: later epochs start at 0
 
-        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        # maxsize=0 would make the queue UNBOUNDED (queue.Queue semantics),
+        # silently removing the run-ahead bound prefetch exists to enforce —
+        # clamp so prefetch=0 means "no read-ahead beyond the in-flight batch".
+        out_q: queue.Queue = queue.Queue(maxsize=max(self.prefetch, 1))
         stop = threading.Event()
 
         def produce():

@@ -32,10 +32,14 @@ logger = get_logger("video_backbone.cache")
 class EmbeddingCache:
     """Two-tier (RAM + zstd disk) cache of per-frame embeddings.
 
-    Thread-safe for concurrent pipelined producers (io/loader.py
+    Thread-CORRECT for concurrent pipelined producers (io/loader.py
     ``producers > 1``): frame hashing runs outside the lock, the RAM-tier
     mutation and the backbone compute inside it — same discipline as
-    DeviceCachedBackbone."""
+    DeviceCachedBackbone. Note the compute-inside-the-lock serializes
+    concurrent producers through this cache, so multi-producer runs only
+    overlap the hashing; that is deliberate (host mode defaults to one
+    producer, and computing outside the lock would need per-key in-flight
+    tracking to avoid duplicate backbone work)."""
 
     def __init__(
         self,

@@ -340,6 +340,7 @@ def _steady_phase(dataset, pre, step_fn, params, state, opt_state, epoch_idx):
 
     # epoch 3: encode every frame once + compile the backbone-free step
     # program (one-time costs, both cached)
+    load_before = os.getloadavg()[0]
     warm_wall, n, _ = steady_epoch(3, pipelined=False)
     # best-of-two per mode: the steady epoch is ~2 s, so per-epoch service
     # jitter dominates single measurements
@@ -348,6 +349,9 @@ def _steady_phase(dataset, pre, step_fn, params, state, opt_state, epoch_idx):
     for epoch in (4, 5):
         wall, n, m = steady_epoch(epoch, pipelined=False)
         serial.append(n / wall)
+    # provisional emit: a driver-window kill during the pipelined A/B leg
+    # still lands a steady number in the official artifact
+    _emit({"e2e_steady_value": round(max(serial), 3)})
     for epoch in (6, 7):
         wall, n, m = steady_epoch(epoch, pipelined=True)
         pipelined.append(n / wall)
@@ -362,6 +366,9 @@ def _steady_phase(dataset, pre, step_fn, params, state, opt_state, epoch_idx):
         "loader_mode": (
             "pipelined" if best_pipelined > best_serial else "serial"
         ),
+        # 1-min loadavg bracketing the steady block (1-CPU host: any
+        # concurrent process corrupts these dispatch-bound timings)
+        "host_load": [round(load_before, 3), round(os.getloadavg()[0], 3)],
     }
 
 
