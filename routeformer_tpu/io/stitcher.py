@@ -187,11 +187,21 @@ class ImageStitcher:
     MIN_CORRESPONDENCES = 20
     MIN_INLIERS = 12
 
+    # While degraded (last estimation failed), re-attempt a full estimate
+    # every Nth stitched frame instead of every frame: the dense NCC
+    # fallback costs ~100 ms/frame, and a structureless video would
+    # otherwise pay it 5x/second for nothing.
+    RETRY_PERIOD = 25
+
     def __init__(self, threshold: float = 0.5, blend: str = "feather"):
         self.homography = RobustHomography(threshold)
         self.blend = blend
         self._cached_h: Optional[np.ndarray] = None
-        self.last_method: Optional[str] = None  # observability: "orb"/"dense"
+        # observability: "orb"/"dense"/"orb-degraded"/"reuse-cached"/
+        # "side-by-side"
+        self.last_method: Optional[str] = None
+        self._degraded = False
+        self._frames_since_retry = 0
 
     def estimate(self, left: np.ndarray, right: np.ndarray) -> np.ndarray:
         """Estimate (and cache) the right->left-canvas homography.
@@ -237,20 +247,60 @@ class ImageStitcher:
                 H = sparse_h
                 self.last_method = "orb-degraded"
         self._cached_h = H
+        self._degraded = False
+        self._frames_since_retry = 0
         return H
+
+    def _estimate_for_stitch(self, left: np.ndarray, right: np.ndarray):
+        """Per-frame estimation policy for the dataset path: NEVER raises.
+
+        The reference runs the stitcher inside the per-sample hot loop
+        (reference dataset.py:1548-1604) and never throws mid-epoch —
+        LoFTR always returns an estimate. Here an estimation failure falls
+        back to the homography cached from earlier frames; with no history
+        at all, to the neutral side-by-side placement (right frame pasted
+        beside the left on the canvas). Either fallback marks the stitcher
+        degraded so a full re-estimate is retried every RETRY_PERIOD
+        frames (self-heal once the footage regains structure)."""
+        try:
+            return self.estimate(left, right)
+        except ValueError as e:
+            self._degraded = True
+            self._frames_since_retry = 0
+            if self._cached_h is not None:
+                logger.warning(
+                    "homography estimation failed (%s); reusing the cached "
+                    "homography from an earlier frame", e,
+                )
+                self.last_method = "reuse-cached"
+                return self._cached_h
+            logger.warning(
+                "homography estimation failed with no cached estimate "
+                "(%s); degrading to side-by-side placement", e,
+            )
+            h = np.eye(3)
+            h[0, 2] = float(left.shape[1])
+            self._cached_h = h
+            self.last_method = "side-by-side"
+            return h
 
     def stitch_pair(
         self, left: np.ndarray, right: np.ndarray, reuse: bool = True
     ) -> np.ndarray:
         """Stitch one left/right pair onto a double-width canvas
-        (reference image_stitcher.py:64-110)."""
+        (reference image_stitcher.py:64-110). Never raises: estimation
+        failures degrade per ``_estimate_for_stitch``."""
         import jax.numpy as jnp
 
         from routeformer_tpu.ops.image import remap
 
         h_px, w_px = left.shape[:2]
         if self._cached_h is None or not reuse:
-            self.estimate(left, right)
+            self._estimate_for_stitch(left, right)
+        elif self._degraded:
+            self._frames_since_retry += 1
+            if self._frames_since_retry >= self.RETRY_PERIOD:
+                self._estimate_for_stitch(left, right)
         H = self._cached_h
 
         canvas_w = 2 * w_px

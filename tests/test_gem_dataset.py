@@ -202,3 +202,39 @@ class TestGEMDatasetItems:
         ds_f16 = make_dataset(root, use_cache=True, cache_dir=tmp_path)
         item = ds_f16[0]  # must NOT serve the uint8-mode entry
         assert item["train"]["left_video"].dtype == np.float16
+
+
+class TestStitchedStream:
+    """stitch_videos=True end-to-end (reference dataset.py:1548-1604):
+    the per-frame stitch path must survive any footage — including frames
+    where homography estimation fails — without raising mid-epoch."""
+
+    def test_stitched_video_present(self, gem_root):
+        root, _ = gem_root
+        ds = make_dataset(root, stitch_videos=True)
+        item = ds[0]
+        sv = item["train"]["stitched_video"]
+        lv = item["train"]["left_video"]
+        assert sv.shape[0] == lv.shape[0]
+        # canvas is double the left-view width (THWC layout)
+        assert sv.shape[-2] == 2 * lv.shape[-2]
+        assert sv.dtype == np.float16
+        assert np.isfinite(np.asarray(sv, np.float32)).all()
+        assert ds.stitcher.last_method is not None
+
+    def test_estimation_failure_never_raises_mid_epoch(self, gem_root,
+                                                       monkeypatch):
+        from routeformer_tpu.io.stitcher import ImageStitcher
+
+        def always_fail(self, left, right):
+            raise ValueError("forced: frames carry too little structure")
+
+        monkeypatch.setattr(ImageStitcher, "estimate", always_fail)
+        root, _ = gem_root
+        ds = make_dataset(root, stitch_videos=True, use_cache=False)
+        item = ds[0]  # must NOT raise — degrades to side-by-side
+        # first frame: side-by-side; periodic retries then fail into
+        # reuse-cached (reusing that side-by-side placement)
+        assert ds.stitcher.last_method in ("side-by-side", "reuse-cached")
+        sv = item["train"]["stitched_video"]
+        assert np.isfinite(np.asarray(sv, np.float32)).all()
