@@ -128,13 +128,16 @@ class PerceiveEncoder(nnx.Module):
         self.kernel_rngs = rngs.dropout.fork()
 
     def _fused_kernel_mode(self) -> Optional[str]:
-        """'tpu' / 'interpret' when the fused stack kernel should run.
+        """Fused-stack dispatch mode, or None for the nnx-scan formulation.
 
-        Opt-in (``ROUTEFORMER_FUSION_KERNEL=1``) until the kernel's on-chip
-        parity suite is green: the Mosaic-compiled path is CPU-interpret
-        exact, but axon-backend compiles of the full program have not yet
-        completed a validation pass, so the default stays on the proven
-        nnx-scan formulation.
+        ``ROUTEFORMER_FUSION_KERNEL`` values:
+        - ``1``/``tpu``: Mosaic forward + Mosaic per-layer backward.
+          Opt-in only — the Mosaic backward has never compiled through the
+          axon remote-compile helper at flagship geometry (docs/PERF.md).
+        - ``hybrid``: Mosaic forward + XLA per-layer-recompute backward
+          (no Mosaic backward compile needed).
+        - ``interpret`` / ``hybrid-interpret``: same dispatch with the
+          forward kernel in interpreter mode (CPU tests).
         """
         if not self.scan_layers or self.d_model % self.n_heads:
             return None
@@ -143,11 +146,14 @@ class PerceiveEncoder(nnx.Module):
             return None
         if os.getenv("ROUTEFORMER_PROBSPARSE", "masked") != "masked":
             return None  # the kernel implements the masked formulation
-        if mode == "interpret":
-            return "interpret"
-        return "tpu" if jax.default_backend() == "tpu" else None
+        if mode in ("interpret", "hybrid-interpret"):
+            return mode
+        if jax.default_backend() != "tpu":
+            return None
+        return "hybrid" if mode == "hybrid" else "tpu"
 
-    def _run_fused_stack(self, x: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+    def _run_fused_stack(self, x: jnp.ndarray, interpret: bool,
+                         backward: str = "kernel") -> jnp.ndarray:
         layers = self.stacked_layers
         att = layers.attention
         n_layers = layers.norm1.scale[...].shape[0]
@@ -204,6 +210,7 @@ class PerceiveEncoder(nnx.Module):
             activation=self.activation,
             compute_bf16=self.compute_bf16,
             interpret=interpret,
+            backward=backward,
         )
 
     def __call__(self, x_enc: jnp.ndarray):
@@ -211,7 +218,10 @@ class PerceiveEncoder(nnx.Module):
         kernel_mode = self._fused_kernel_mode()
         if kernel_mode is not None:
             enc_out = self._run_fused_stack(
-                enc_out, interpret=kernel_mode == "interpret"
+                enc_out,
+                interpret=kernel_mode.endswith("interpret"),
+                backward="xla" if kernel_mode.startswith("hybrid")
+                else "kernel",
             )
             enc_out = self.norm(enc_out)
             attns = None

@@ -885,6 +885,73 @@ def _fused_stack_vjp_bwd(heads, u, dropout_rate, activation, compute_bf16,
 _fused_stack.defvjp(_fused_stack_vjp_fwd, _fused_stack_vjp_bwd)
 
 
+def _hybrid_vjp_bwd(heads, u, dropout_rate, activation, compute_bf16,
+                    interpret, residuals, g):
+    """XLA per-layer-recompute backward for the Mosaic forward kernel.
+
+    The Mosaic backward (`_bwd_layer_kernel`) has never compiled through
+    the axon remote-compile helper at flagship geometry (v3 SIGABRT, v4
+    helper OOM, v5 timeout, round-5 helper SIGKILL — docs/PERF.md); this
+    path keeps the forward kernel's VMEM-resident win (no HBM score
+    tensors, the only residual is the per-layer input) and hands the
+    backward to XLA, which recomputes each layer's internals from that
+    saved input — the same recompute strategy the kernel backward uses,
+    expressed as a per-layer ``jax.vjp`` over ``_layer_fwd`` (the
+    executable spec the tests diff against). Compiles like any XLA
+    program; no Mosaic backward involved.
+    """
+    resid, weights_tuple, cnt, masks3, r = residuals
+    n_layers = weights_tuple[0].shape[0]
+    mm_dtype = jnp.bfloat16 if compute_bf16 else jnp.float32
+    w_cast = _cast_weights(StackWeights(*weights_tuple), mm_dtype)
+    per_layer = _weights_list(n_layers, *w_cast)
+    g = g.astype(jnp.float32)
+    per_layer_grads = [None] * n_layers
+    for i in range(n_layers - 1, -1, -1):
+        masks_l = None if masks3 is None else tuple(m[i] for m in masks3)
+
+        def f(x_, wl_, i=i, masks_l=masks_l):
+            return _layer_fwd(
+                x_, wl_, cnt[i], masks_l, heads=heads, u=u,
+                dropout_rate=dropout_rate, activation=activation,
+                mm_dtype=mm_dtype,
+            )
+
+        _, vjp = jax.vjp(f, resid[i, :r], per_layer[i])
+        g, dwl = vjp(g)
+        per_layer_grads[i] = dwl
+    wt = StackWeights(*weights_tuple)
+    dw = tuple(
+        jnp.stack(
+            [per_layer_grads[i][j].astype(jnp.float32)
+             for i in range(n_layers)]
+        ).reshape(w.shape).astype(w.dtype)
+        for j, w in enumerate(wt)
+    )
+    dcnt = jnp.zeros_like(cnt)
+    dmasks = (
+        None if masks3 is None
+        else tuple(np.zeros(m.shape, dtype=jax.dtypes.float0) for m in masks3)
+    )
+    return g, dw, dcnt, dmasks
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9)
+)
+def _fused_stack_hybrid(x, weights_tuple, cnt, masks3, heads, u,
+                        dropout_rate, activation, compute_bf16, interpret):
+    """Fused forward kernel + XLA per-layer-recompute backward."""
+    y, _ = _fused_stack_fwd_impl(
+        x, weights_tuple, cnt, masks3, heads, u, dropout_rate,
+        activation, compute_bf16, interpret, save_resid=False,
+    )
+    return y
+
+
+_fused_stack_hybrid.defvjp(_fused_stack_vjp_fwd, _hybrid_vjp_bwd)
+
+
 def fused_perceive_stack(
     x: jnp.ndarray,
     weights: StackWeights,
@@ -897,6 +964,7 @@ def fused_perceive_stack(
     activation: str = "gelu",
     compute_bf16: bool = True,
     interpret: bool = False,
+    backward: str = "kernel",
 ) -> jnp.ndarray:
     """Run the full N-layer ProbSparse encoder stack in one fused kernel.
 
@@ -907,11 +975,15 @@ def fused_perceive_stack(
     - ``masks``: None for deterministic mode, else three int8 keep-masks
       shaped (N, R, L, D), (N, R, L, F), (N, R, L, D) — the layer's three
       dropout sites (attention output, FFN activation, FFN output).
+    - ``backward``: "kernel" (per-layer Mosaic backward) or "xla" (the
+      hybrid: Mosaic forward + XLA per-layer-recompute backward — the path
+      that needs no Mosaic backward compile, ``_hybrid_vjp_bwd``).
     """
     l = x.shape[1]
     u = min(int(factor * math.ceil(math.log(l))), l)
     train = masks is not None and dropout_rate > 0.0
-    return _fused_stack(
+    impl = _fused_stack_hybrid if backward == "xla" else _fused_stack
+    return impl(
         x, tuple(weights), cnt, tuple(masks) if train else None,
         heads, u, float(dropout_rate), activation, bool(compute_bf16),
         bool(interpret),

@@ -255,3 +255,100 @@ class TestModuleParity:
         monkeypatch.setenv("ROUTEFORMER_FUSION_KERNEL", "0")
         enc = self._build()
         assert enc._fused_kernel_mode() is None
+
+
+class TestHybridBackward:
+    """Kernel forward + XLA per-layer-recompute backward (round 5): the
+    dispatch path that needs no Mosaic backward compile. Gradients must
+    match twin autodiff exactly at f32 (same math, same recompute
+    strategy)."""
+
+    def test_hybrid_grads_match_twin_autodiff(self):
+        r, l, d, f, n = 6, 17, 64, 128, 2
+        key = jax.random.PRNGKey(0)
+        w = _make_weights(n, d, f, key)
+        x = jax.random.normal(jax.random.PRNGKey(1), (r, l, d), jnp.float32)
+        u = _u_for(l)
+        cnt = fs.sample_count_matrices(jax.random.split(key, n), n, l, l, u)
+
+        def loss_twin(x, wt):
+            y = fs.stack_reference(
+                x, fs.StackWeights(*wt), cnt, None, heads=8, u=u,
+                dropout_rate=0.0, compute_bf16=False,
+            )
+            return jnp.sum(jnp.sin(y))
+
+        def loss_hyb(x, wt):
+            y = fs._fused_stack_hybrid(
+                x, wt, cnt, None, 8, u, 0.0, "gelu", False, True
+            )
+            return jnp.sum(jnp.sin(y))
+
+        gt = jax.grad(loss_twin, argnums=(0, 1))(x, tuple(w))
+        gh = jax.jit(jax.grad(loss_hyb, argnums=(0, 1)))(x, tuple(w))
+        np.testing.assert_allclose(gh[0], gt[0], atol=1e-4, rtol=1e-4)
+        gscale = max(
+            float(max(jnp.max(jnp.abs(a)) for a in gt[1])), 1e-12
+        )
+        for a, b in zip(gt[1], gh[1]):
+            assert float(jnp.max(jnp.abs(a - b))) < 1e-5 * gscale + 1e-4
+
+    def test_hybrid_train_dropout_grads(self):
+        r, l, d, f, n = 5, 17, 64, 128, 2
+        p = 0.1
+        key = jax.random.PRNGKey(3)
+        w = _make_weights(n, d, f, key)
+        x = jax.random.normal(jax.random.PRNGKey(4), (r, l, d), jnp.float32)
+        u = _u_for(l)
+        cnt = fs.sample_count_matrices(jax.random.split(key, n), n, l, l, u)
+        masks = fs.make_dropout_masks(jax.random.PRNGKey(5), n, r, l, d, f, p)
+
+        def loss_twin(x, wt):
+            y = fs.stack_reference(
+                x, fs.StackWeights(*wt), cnt, masks, heads=8, u=u,
+                dropout_rate=p, compute_bf16=False,
+            )
+            return jnp.sum(y ** 2)
+
+        def loss_hyb(x, wt):
+            y = fs._fused_stack_hybrid(
+                x, wt, cnt, masks, 8, u, p, "gelu", False, True
+            )
+            return jnp.sum(y ** 2)
+
+        gt = jax.grad(loss_twin, argnums=(0, 1))(x, tuple(w))
+        gh = jax.grad(loss_hyb, argnums=(0, 1))(x, tuple(w))
+        np.testing.assert_allclose(gh[0], gt[0], atol=1e-3, rtol=1e-4)
+        gscale = max(
+            float(max(jnp.max(jnp.abs(a)) for a in gt[1])), 1e-12
+        )
+        for a, b in zip(gt[1], gh[1]):
+            assert float(jnp.max(jnp.abs(a - b))) < 1e-5 * gscale + 1e-3
+
+    def test_module_hybrid_interpret_dispatch(self, monkeypatch):
+        """ROUTEFORMER_FUSION_KERNEL=hybrid-interpret drives the module
+        path end-to-end on CPU: outputs match the scan formulation in eval
+        and train grads are finite."""
+        from flax import nnx
+
+        enc = TestModuleParity._build(None, layers=2)
+        enc.eval()
+        x = jax.random.normal(jax.random.PRNGKey(7), (3, 20, 24))
+        monkeypatch.setenv("ROUTEFORMER_FUSION_KERNEL", "0")
+        y_scan = enc(x)
+        monkeypatch.setenv("ROUTEFORMER_FUSION_KERNEL", "hybrid-interpret")
+        y_hyb = enc(x)
+        np.testing.assert_allclose(
+            np.asarray(y_hyb), np.asarray(y_scan), atol=2e-4, rtol=1e-4
+        )
+
+        enc.train()
+
+        def loss(m, x):
+            return jnp.sum(m(x) ** 2)
+
+        g = nnx.grad(loss)(enc, x)
+        leaves = jax.tree.leaves(g)
+        assert leaves and all(
+            np.isfinite(np.asarray(a)).all() for a in leaves
+        )

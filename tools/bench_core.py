@@ -176,9 +176,12 @@ def bench_steady():
     dt = _time_steps(step_fn, params, state, opt_state, inp, tgt, N_TIMED_CACHED)
     return {
         "steady_state_value": round(BATCH / dt, 3),
-        # loadavg bracketing the steady timing loop: on this 1-CPU host
-        # concurrent work corrupts the dispatch-bound steady number
-        # (85 vs 233 in round 4) — the artifact now proves quiescence
+        # loadavg bracketing the steady timing loop. NOTE the reading
+        # during/after the loop is ~1.0 BY DESIGN on this 1-CPU host: the
+        # bench process itself saturates the core while dispatching
+        # (dispatch is host-bound). Quiescence is proven by the parent's
+        # host_load_pre_core (taken before the phase starts) being low;
+        # this bracket only flags EXTRA load beyond the bench's own ~1.0.
         "host_load_steady": [round(load_before, 3),
                              round(os.getloadavg()[0], 3)],
     }

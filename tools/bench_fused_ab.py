@@ -32,10 +32,10 @@ BLOCKS = int(os.getenv("AB_BLOCKS", "4"))
 STEPS_PER_BLOCK = int(os.getenv("AB_STEPS", "10"))
 
 
-def _build(kernel_on: bool, cached: bool):
+def _build(mode: str, cached: bool):
     import jax.numpy as jnp
 
-    os.environ["ROUTEFORMER_FUSION_KERNEL"] = "1" if kernel_on else "0"
+    os.environ["ROUTEFORMER_FUSION_KERNEL"] = mode
     from __graft_entry__ import _build_model, _flagship_config, _synthetic
     from routeformer_tpu.models.video_backbone.cache import (
         VideoFeaturePrecomputer,
@@ -90,11 +90,23 @@ def _run_block(slot, n):
     return dt
 
 
+_LABELS = {"0": "scan", "1": "fused", "hybrid": "hybrid"}
+# Default A/B: the hybrid (Mosaic fwd + XLA bwd — the only kernel variant
+# whose backward compiles on the axon helper, see docs/PERF.md) vs the
+# scan formulation. AB_VARIANTS=1,0 re-runs the full-kernel A/B.
+VARIANTS = [
+    v.strip() for v in os.getenv("AB_VARIANTS", "hybrid,0").split(",")
+]
+
+
 def ab(name, cached):
-    slots = {"fused": _build(True, cached), "scan": _build(False, cached)}
-    times = {"fused": [], "scan": []}
+    keys = [_LABELS.get(v, v) for v in VARIANTS]
+    slots = {
+        k: _build(v, cached) for k, v in zip(keys, VARIANTS)
+    }
+    times = {k: [] for k in keys}
     for _ in range(BLOCKS):
-        for key in ("fused", "scan"):
+        for key in keys:
             times[key].append(_run_block(slots[key], STEPS_PER_BLOCK))
     out = {}
     for key, ts in times.items():
