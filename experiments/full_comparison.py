@@ -151,8 +151,12 @@ ROUTEFORMER_CONFIG = RouteformerConfig(
     rotate_motion=DATASET == "DREYEVE",
     decoder_mode="smart",
     # COMPUTE_DTYPE=bfloat16 runs the fusion stack in bf16 (params/norms/
-    # softmax stay f32) — +11% flagship step on TPU; see docs/PERF.md.
-    compute_dtype=os.getenv("COMPUTE_DTYPE", "float32"),
+    # softmax stay f32) — +11% flagship step on TPU (docs/PERF.md round 1).
+    # Default flipped to bfloat16 in round 5, gated by the accuracy proxy:
+    # loss_ratio 1.002 vs f32 baseline, ADE delta +1.03 m — inside the
+    # seed-noise band (tools/ablate_accuracy_proxy.py, variant "bf16").
+    # COMPUTE_DTYPE=float32 restores the old default.
+    compute_dtype=os.getenv("COMPUTE_DTYPE", "bfloat16"),
 )
 
 SWINV2_BACKBONE_CONFIG = TimmBackboneConfig(

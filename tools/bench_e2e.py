@@ -297,6 +297,11 @@ def _steady_phase(dataset, pre, step_fn, params, state, opt_state, epoch_idx):
     if pre is None:
         return None, None
 
+    # Host-side ms/step breakdown accumulators (VERDICT round-4 #3: what
+    # remains between e2e_steady and the resident-batch steady number).
+    host_ms = {"memo_lookup": 0.0, "device_put": 0.0, "loader_wait": 0.0,
+               "steps": 0}
+
     def memo_place(batch):
         """Feature-memo lookup + device placement. In the pipelined mode it
         runs inside the loader's producer stage (producers=2) so host work
@@ -305,12 +310,17 @@ def _steady_phase(dataset, pre, step_fn, params, state, opt_state, epoch_idx):
         from jax async dispatch. Both are measured below (A/B in one
         process, same compiled step): the first pipelined on-chip run read
         60.96 vs the serial path's official 95.8 under a flapping service,
-        so neither mode is assumed faster."""
+        so neither mode is assumed faster. (On a 1-CPU host the pipelined
+        mode CANNOT win: producer threads and the dispatch loop share one
+        core — measured serial 120.7 vs pipelined 113.6, round 5.)"""
         out = dict(batch)
         for phase in ("train", "target"):
-            out[phase] = {
-                k: jnp.asarray(v) for k, v in pre(batch[phase]).items()
-            }
+            t0 = time.perf_counter()
+            feats = pre(batch[phase])
+            host_ms["memo_lookup"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out[phase] = {k: jnp.asarray(v) for k, v in feats.items()}
+            host_ms["device_put"] += time.perf_counter() - t0
         return out
 
     host_loader = DataLoader(
@@ -327,7 +337,13 @@ def _steady_phase(dataset, pre, step_fn, params, state, opt_state, epoch_idx):
         t0 = time.perf_counter()
         n = 0
         m = None
-        for batch in host_loader:
+        it = iter(host_loader)
+        while True:
+            tw = time.perf_counter()
+            batch = next(it, None)
+            host_ms["loader_wait"] += time.perf_counter() - tw
+            if batch is None:
+                break
             if not pipelined:
                 batch = memo_place(batch)
             inp, tgt = batch["train"], batch["target"]
@@ -335,6 +351,7 @@ def _steady_phase(dataset, pre, step_fn, params, state, opt_state, epoch_idx):
                 params, state, opt_state, inp, tgt, epoch_idx
             )
             n += int(inp["gps"].shape[0])
+            host_ms["steps"] += 1
         jax.block_until_ready(m)
         return time.perf_counter() - t0, n, m
 
@@ -369,6 +386,13 @@ def _steady_phase(dataset, pre, step_fn, params, state, opt_state, epoch_idx):
         # 1-min loadavg bracketing the steady block (1-CPU host: any
         # concurrent process corrupts these dispatch-bound timings)
         "host_load": [round(load_before, 3), round(os.getloadavg()[0], 3)],
+        # host-side ms/step split across ALL steady epochs (serial epochs
+        # attribute memo/put inline; the remainder to the step number is
+        # jitted dispatch+device time)
+        "host_ms_per_step": {
+            k: round(v / max(host_ms["steps"], 1) * 1e3, 2)
+            for k, v in host_ms.items() if k != "steps"
+        },
     }
 
 
