@@ -272,6 +272,9 @@ class SwinBlock(nnx.Module):
         self.window = min(window, *input_hw)
         self.shift = shift if self.window < min(input_hw) else 0
         self.input_hw = input_hw
+        # whether the block's matmuls run bf16 (dtype is the nnx compute
+        # dtype; params stay f32) — forwarded to the fused-block kernel
+        self.compute_bf16 = dtype == jnp.bfloat16
         self.attn = WindowAttention(
             dim, self.window, n_heads, dtype, flash_mode, rngs=rngs
         )
@@ -287,11 +290,74 @@ class SwinBlock(nnx.Module):
         else:
             self.attn_mask = None
 
+    def _fused_block_mode(self, c: int) -> Optional[str]:
+        """'tpu'/'interpret' when the whole block should run as ONE Pallas
+        kernel (ops/swin_block_fusion.py) — measured +24% vs the
+        production path on stage-2 blocks (docs/PERF.md round 5).
+
+        Gates: shift=0 only (no per-window-kind mask plumbing yet), tanh
+        gelu (the kernel's activation; "exact" models fall back), and
+        C <= 512 (stage-3's C=1024 MLP weights alone exceed VMEM)."""
+        import os
+
+        mode = os.getenv("ROUTEFORMER_SWIN_BLOCK_FUSION", "0")
+        if mode == "0":
+            return None
+        if self.shift > 0 or not self.gelu_approximate or c > 512:
+            return None
+        if mode == "interpret":
+            return "interpret"
+        return "tpu" if jax.default_backend() == "tpu" else None
+
+    def _run_fused_block(
+        self, x: jnp.ndarray, bias: Optional[jnp.ndarray], interpret: bool
+    ) -> jnp.ndarray:
+        from routeformer_tpu.ops.swin_block_fusion import fused_swin_block
+
+        n, h, w, c = x.shape
+        wins = window_partition(x, self.window).reshape(
+            -1, self.window * self.window, c
+        )
+        qkv_bias = jnp.concatenate(
+            [self.attn.q_bias[...], jnp.zeros((c,)), self.attn.v_bias[...]]
+        )
+        params = {
+            "wqkv": self.attn.qkv.kernel[...],
+            "bqkv": qkv_bias,
+            "wproj": self.attn.proj.kernel[...],
+            "bproj": self.attn.proj.bias[...],
+            "ln1_scale": self.norm1.scale[...],
+            "ln1_bias": self.norm1.bias[...],
+            "wfc1": self.fc1.kernel[...],
+            "bfc1": self.fc1.bias[...],
+            "wfc2": self.fc2.kernel[...],
+            "bfc2": self.fc2.bias[...],
+            "ln2_scale": self.norm2.scale[...],
+            "ln2_bias": self.norm2.bias[...],
+            "logit_scale": jnp.exp(
+                jnp.minimum(self.attn.logit_scale[...], math.log(100.0))
+            ).reshape(self.attn.n_heads),
+        }
+        if bias is None:
+            bias = self.attn.get_bias()
+        out = fused_swin_block(
+            wins, params, bias, self.attn.n_heads, self.compute_bf16,
+            interpret,
+        )
+        return window_reverse(
+            out.reshape(-1, self.window, self.window, c), self.window, h, w
+        )
+
     def __call__(
         self, x: jnp.ndarray, bias: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
         """x: (N, H, W, C); bias: optional precomputed CPB bias."""
         n, h, w, c = x.shape
+        fusion_mode = self._fused_block_mode(c)
+        if fusion_mode is not None:
+            return self._run_fused_block(
+                x, bias, interpret=fusion_mode == "interpret"
+            )
         shortcut = x
         if self.shift > 0:
             x = jnp.roll(x, (-self.shift, -self.shift), axis=(1, 2))

@@ -698,6 +698,24 @@ def _fused_stack_fwd_impl(x, weights_tuple, cnt, masks3, heads, u,
     w_cast = _cast_weights(StackWeights(*weights_tuple), mm_dtype)
     cnt = cnt.astype(jnp.float32)
 
+    if train:
+        # TRAIN mode compiles PER LAYER: the monolithic 8-layer train
+        # program (mask operands included) SIGKILLs the axon remote
+        # compile helper at flagship geometry — the same helper-memory
+        # wall as the monolithic backward (docs/PERF.md). One layer per
+        # pallas_call is 1/8 the program, Mosaic compiles one jaxpr and
+        # reuses it, and the chained x round-trips HBM between layers
+        # (~13 MB/layer — microseconds against the score traffic this
+        # kernel family eliminates). Residuals come free: the chain
+        # inputs ARE the per-layer inputs, so no save_resid kernel
+        # variant is needed in train mode.
+        return _fwd_layerwise(
+            xp, w_cast, cnt, masks3, n_layers=n_layers, heads=heads, u=u,
+            dropout_rate=dropout_rate, activation=activation,
+            mm_dtype=mm_dtype, interpret=interpret, save_resid=save_resid,
+            c=c, r_pad=r_pad, r=r, l=l, d=d,
+        )
+
     operands = [xp, *w_cast, cnt]
     in_specs = [
         pl.BlockSpec((c, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -759,6 +777,59 @@ def _fused_stack_fwd_impl(x, weights_tuple, cnt, masks3, heads, u,
 
     y = outs[0][:r]
     resid = outs[1] if save_resid else None
+    return y, resid
+
+
+def _fwd_layerwise(xp, w_cast, cnt, masks3, *, n_layers, heads, u,
+                   dropout_rate, activation, mm_dtype, interpret,
+                   save_resid, c, r_pad, r, l, d):
+    """Per-layer pallas_call chain (train mode; see _fused_stack_fwd_impl)."""
+    mp = [
+        jnp.pad(m, ((0, 0), (0, r_pad - m.shape[1]), (0, 0), (0, 0)))
+        for m in masks3
+    ]
+    kern = functools.partial(
+        _fwd_kernel, n_layers=1, heads=heads, u=u,
+        dropout_rate=dropout_rate, activation=activation,
+        mm_dtype=mm_dtype, train=True, save_resid=False,
+    )
+    resids = []
+    for i in range(n_layers):
+        if save_resid:
+            resids.append(xp)
+        operands = [xp, *(w[i : i + 1] for w in w_cast), cnt[i : i + 1]]
+        in_specs = [
+            pl.BlockSpec((c, l, d), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *[_full_spec(w[i : i + 1]) for w in w_cast],
+            _full_spec(cnt[i : i + 1]),
+        ]
+        operands += [m[i : i + 1] for m in mp]
+        in_specs += [
+            pl.BlockSpec(
+                (1, c, l, m.shape[-1]), lambda j: (0, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for m in mp
+        ]
+        f = w_cast.wff1.shape[-1]
+        xp = pl.pallas_call(
+            kern,
+            grid=(r_pad // c,),
+            out_shape=jax.ShapeDtypeStruct((r_pad, l, d), jnp.float32),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((c, l, d), lambda j: (j, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * r_pad * l * (4 * d * d + 2 * d * f
+                                       + 2 * l * (d // heads) * heads),
+                bytes_accessed=4 * r_pad * l * d * 2,
+                transcendentals=r_pad * heads * l * l,
+            ),
+        )(*operands)
+    y = xp[:r]
+    resid = jnp.stack(resids) if save_resid else None
     return y, resid
 
 

@@ -36,7 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_swin_block_forward", "swin_block_reference"]
+__all__ = ["fused_swin_block", "fused_swin_block_forward",
+           "swin_block_reference"]
 
 
 def _tanh_gelu(x):
@@ -202,6 +203,46 @@ def fused_swin_block_forward(
             transcendentals=b * n_heads * n * n + b * n * 4 * c,
         ),
     )(*operands)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_swin_block(x_windows, params, bias, n_heads, compute_bf16,
+                     interpret):
+    """Differentiable fused block: Mosaic forward + XLA-recompute backward.
+
+    The backward is a `jax.vjp` over `swin_block_reference` (the same
+    hybrid pattern as ops/fusion_stack._hybrid_vjp_bwd): no Mosaic
+    backward compile, gradients are the twin math's gradients evaluated
+    at the saved inputs. The flagship backbone is FROZEN in the cold
+    step, so production hits the forward only; the backward exists for
+    the epoch-unfreeze path and grad-taking tests."""
+    return fused_swin_block_forward(
+        x_windows, params, n_heads=n_heads, bias=bias,
+        compute_bf16=compute_bf16, interpret=interpret,
+    )
+
+
+def _fused_block_vjp_fwd(x_windows, params, bias, n_heads, compute_bf16,
+                         interpret):
+    y = fused_swin_block_forward(
+        x_windows, params, n_heads=n_heads, bias=bias,
+        compute_bf16=compute_bf16, interpret=interpret,
+    )
+    return y, (x_windows, params, bias)
+
+
+def _fused_block_vjp_bwd(n_heads, compute_bf16, interpret, residuals, g):
+    x_windows, params, bias = residuals
+    _, vjp = jax.vjp(
+        lambda x_, p_, b_: swin_block_reference(
+            x_, p_, n_heads=n_heads, bias=b_
+        ),
+        x_windows, params, bias,
+    )
+    return vjp(g)
+
+
+fused_swin_block.defvjp(_fused_block_vjp_fwd, _fused_block_vjp_bwd)
 
 
 def swin_block_reference(x_windows, params, *, n_heads, bias):

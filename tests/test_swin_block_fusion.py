@@ -114,3 +114,73 @@ class TestFusedBlockParity:
         ).reshape(frames, win, win, c)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=5e-5, rtol=1e-4)
+
+
+class TestModuleDispatch:
+    """ROUTEFORMER_SWIN_BLOCK_FUSION=interpret drives SwinBlock through
+    the fused kernel on CPU: outputs match the plain path and gradients
+    flow through the XLA-recompute backward."""
+
+    def _block(self, c=64, h=4, win=4):
+        from routeformer_tpu.models.video_backbone.swin import SwinBlock
+
+        return SwinBlock(
+            c, h, win, shift=0, input_hw=(win, win), gelu_approximate=True,
+            rngs=nnx.Rngs(0),
+        )
+
+    def test_dispatch_matches_plain_path(self, monkeypatch):
+        blk = self._block()
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 4, 64),
+                              jnp.float32)
+        monkeypatch.setenv("ROUTEFORMER_SWIN_BLOCK_FUSION", "0")
+        want = blk(x)
+        monkeypatch.setenv("ROUTEFORMER_SWIN_BLOCK_FUSION", "interpret")
+        got = blk(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-5, rtol=1e-4)
+
+    def test_shifted_block_falls_back(self, monkeypatch):
+        from routeformer_tpu.models.video_backbone.swin import SwinBlock
+
+        blk = SwinBlock(
+            64, 4, 4, shift=2, input_hw=(8, 8), gelu_approximate=True,
+            rngs=nnx.Rngs(0),
+        )
+        monkeypatch.setenv("ROUTEFORMER_SWIN_BLOCK_FUSION", "interpret")
+        assert blk._fused_block_mode(64) is None
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 64))
+        assert np.isfinite(np.asarray(blk(x))).all()
+
+    def test_exact_gelu_falls_back(self, monkeypatch):
+        from routeformer_tpu.models.video_backbone.swin import SwinBlock
+
+        blk = SwinBlock(
+            64, 4, 4, shift=0, input_hw=(4, 4), gelu_approximate=False,
+            rngs=nnx.Rngs(0),
+        )
+        monkeypatch.setenv("ROUTEFORMER_SWIN_BLOCK_FUSION", "interpret")
+        assert blk._fused_block_mode(64) is None
+
+    def test_grads_flow_through_fused_dispatch(self, monkeypatch):
+        monkeypatch.setenv("ROUTEFORMER_SWIN_BLOCK_FUSION", "interpret")
+        blk = self._block()
+        x = np.random.default_rng(0).normal(
+            size=(2, 4, 4, 64)
+        ).astype(np.float32)
+
+        def loss(m, x):
+            return jnp.sum(m(jnp.asarray(x)) ** 2)
+
+        g = nnx.grad(loss)(blk, x)
+        leaves = jax.tree.leaves(g)
+        assert leaves and all(
+            np.isfinite(np.asarray(a)).all() for a in leaves
+        )
+        # grads match the plain path's (same math, recompute backward)
+        monkeypatch.setenv("ROUTEFORMER_SWIN_BLOCK_FUSION", "0")
+        g0 = nnx.grad(loss)(blk, x)
+        for a, b in zip(jax.tree.leaves(g0), leaves):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=5e-4, rtol=5e-3
+            )
