@@ -121,8 +121,9 @@ def main():
     result = {"metric": "fused_stack_ab", "batch": BATCH}
     result.update(ab("steady", cached=True))
     print(json.dumps(result), flush=True)
-    result.update(ab("cold", cached=False))
-    print(json.dumps(result), flush=True)
+    if os.getenv("ROUTEFORMER_BENCH_AB_COLD", "1") != "0":
+        result.update(ab("cold", cached=False))
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
