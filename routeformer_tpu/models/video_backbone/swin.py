@@ -297,10 +297,15 @@ class SwinBlock(nnx.Module):
 
         Gates: shift=0 only (no per-window-kind mask plumbing yet), tanh
         gelu (the kernel's activation; "exact" models fall back), and
-        C <= 512 (stage-3's C=1024 MLP weights alone exceed VMEM)."""
+        C <= 512 (stage-3's C=1024 MLP weights alone exceed VMEM).
+
+        Default ON since round 5: step-level cold 24.91 vs 22.86 clips/s
+        (+9%, mfu 0.086 vs 0.079, .logs/queue_r5_stage_17_*.log), math
+        identical to the plain path (f32-exact in tests), backward via
+        XLA recompute. ROUTEFORMER_SWIN_BLOCK_FUSION=0 opts out."""
         import os
 
-        mode = os.getenv("ROUTEFORMER_SWIN_BLOCK_FUSION", "0")
+        mode = os.getenv("ROUTEFORMER_SWIN_BLOCK_FUSION", "1")
         if mode == "0":
             return None
         if self.shift > 0 or not self.gelu_approximate or c > 512:
