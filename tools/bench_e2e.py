@@ -359,6 +359,10 @@ def _steady_phase(dataset, pre, step_fn, params, state, opt_state, epoch_idx):
     # program (one-time costs, both cached)
     load_before = os.getloadavg()[0]
     warm_wall, n, _ = steady_epoch(3, pipelined=False)
+    # the encode epoch runs the backbone inside pre() — exclude its cost
+    # from the warm-lookup breakdown
+    host_ms.update(memo_lookup=0.0, device_put=0.0, loader_wait=0.0,
+                   steps=0)
     # best-of-two per mode: the steady epoch is ~2 s, so per-epoch service
     # jitter dominates single measurements
     serial = []
