@@ -302,13 +302,15 @@ class SwinBlock(nnx.Module):
         Default ON since round 5: step-level cold 24.91 vs 22.86 clips/s
         (+9%, mfu 0.086 vs 0.079, .logs/queue_r5_stage_17_*.log), math
         identical to the plain path (f32-exact in tests), backward via
-        XLA recompute. ROUTEFORMER_SWIN_BLOCK_FUSION=0 opts out."""
+        XLA recompute. Shifted blocks ride the same kernel with a
+        per-window-kind (CPB + shift-mask) bias and the (window-kind,
+        repeat) grid. ROUTEFORMER_SWIN_BLOCK_FUSION=0 opts out."""
         import os
 
         mode = os.getenv("ROUTEFORMER_SWIN_BLOCK_FUSION", "1")
         if mode == "0":
             return None
-        if self.shift > 0 or not self.gelu_approximate or c > 512:
+        if not self.gelu_approximate or c > 512:
             return None
         if mode == "interpret":
             return "interpret"
@@ -320,6 +322,8 @@ class SwinBlock(nnx.Module):
         from routeformer_tpu.ops.swin_block_fusion import fused_swin_block
 
         n, h, w, c = x.shape
+        if self.shift > 0:
+            x = jnp.roll(x, (-self.shift, -self.shift), axis=(1, 2))
         wins = window_partition(x, self.window).reshape(
             -1, self.window * self.window, c
         )
@@ -345,13 +349,20 @@ class SwinBlock(nnx.Module):
         }
         if bias is None:
             bias = self.attn.get_bias()
+        if self.attn_mask is not None:
+            # per-window-kind bias: CPB + shift mask (the flash-window
+            # bias-broadcast layout; window index varies fastest)
+            bias = bias[None] + self.attn_mask[:, None]
         out = fused_swin_block(
             wins, params, bias, self.attn.n_heads, self.compute_bf16,
             interpret,
         )
-        return window_reverse(
+        out = window_reverse(
             out.reshape(-1, self.window, self.window, c), self.window, h, w
         )
+        if self.shift > 0:
+            out = jnp.roll(out, (self.shift, self.shift), axis=(1, 2))
+        return out
 
     def __call__(
         self, x: jnp.ndarray, bias: Optional[jnp.ndarray] = None

@@ -60,6 +60,8 @@ def _fused_block_kernel(
     ln2s_ref, ln2b_ref, bias_ref, scale_ref, o_ref,
     *, n_heads, d_head, mm_dtype,
 ):
+    # bias_ref block is (1, H, n, n) — the current grid step's window-kind
+    # slice (shift-mask included for shifted blocks)
     x = x_ref[0].astype(jnp.float32)            # (n, C)
     n, c = x.shape
 
@@ -91,7 +93,7 @@ def _fused_block_kernel(
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                         # (n, n)
-        s = s * scale_ref[h, 0] + bias_ref[h].astype(jnp.float32)
+        s = s * scale_ref[h, 0] + bias_ref[0, h].astype(jnp.float32)
         s = s - jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -153,11 +155,22 @@ def fused_swin_block_forward(
     - ``params``: dict with wqkv (C,3C), bqkv (3C,), wproj (C,C), bproj,
       ln1_scale, ln1_bias, wfc1 (C,4C), bfc1, wfc2 (4C,C), bfc2,
       ln2_scale, ln2_bias, logit_scale (H,) — ALREADY exp()-clamped.
-    - ``bias``: (H, n, n) additive attention bias (CPB; + mask if any).
+    - ``bias``: (H, n, n) additive attention bias shared by every window
+      row (CPB only — the shift=0 case), or (nW, H, n, n) per window KIND
+      (CPB + shift mask) with ``b % nW == 0`` and the window index
+      varying fastest along the batch (the ``window_partition`` order) —
+      the same bias-broadcast layout as ``flash_window_attention``.
     """
     b, n, c = x_windows.shape
     d_head = c // n_heads
     mm_dtype = jnp.bfloat16 if compute_bf16 else jnp.float32
+
+    bias = jnp.asarray(bias, jnp.float32)
+    if bias.ndim == 3:
+        bias = bias[None]
+    nw = bias.shape[0]
+    assert b % nw == 0, f"batch {b} not a multiple of window kinds {nw}"
+    reps = b // nw
 
     scale = jnp.broadcast_to(
         jnp.asarray(params["logit_scale"], jnp.float32).reshape(n_heads, 1),
@@ -171,30 +184,40 @@ def fused_swin_block_forward(
         jnp.asarray(params["wfc1"], mm_dtype), _r2(params["bfc1"]),
         jnp.asarray(params["wfc2"], mm_dtype), _r2(params["bfc2"]),
         _r2(params["ln2_scale"]), _r2(params["ln2_bias"]),
-        jnp.asarray(bias, jnp.float32),
+        bias,
         scale,
     ]
     full = [
         pl.BlockSpec(
-            o.shape, lambda i, nd=o.ndim: (0,) * nd,
+            o.shape, lambda w, r, nd=o.ndim: (0,) * nd,
             memory_space=pltpu.VMEM,
         )
-        for o in operands[1:]
+        for o in operands[1:-2]
     ]
+    # Grid (window-kind, repeat) with repeat fastest: the (H, n, n) f32
+    # bias tile is the largest operand and is shared by every `reps`-th
+    # batch row — Mosaic elides its re-fetch across consecutive repeat
+    # steps (the flash_window_attention grid-order trick).
+    row_spec = pl.BlockSpec(
+        (1, n, c), lambda w, r, nw=nw: (r * nw + w, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
     return pl.pallas_call(
         functools.partial(
             _fused_block_kernel,
             n_heads=n_heads, d_head=d_head, mm_dtype=mm_dtype,
         ),
-        grid=(b,),
+        grid=(nw, reps),
         out_shape=jax.ShapeDtypeStruct((b, n, c), x_windows.dtype),
         in_specs=[
-            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            row_spec,
             *full,
+            pl.BlockSpec((1, n_heads, n, n), lambda w, r: (w, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_heads, 128), lambda w, r: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=row_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * (3 * c * c + c * c + 8 * c * c
@@ -264,7 +287,11 @@ def swin_block_reference(x_windows, params, *, n_heads, bias):
     s = s * jnp.asarray(params["logit_scale"], jnp.float32)[
         None, :, None, None
     ]
-    s = s + jnp.asarray(bias, jnp.float32)[None]
+    bias = jnp.asarray(bias, jnp.float32)
+    if bias.ndim == 3:
+        bias = bias[None]
+    nb = bias.shape[0]
+    s = (s.reshape(b // nb, nb, h, n, n) + bias[None]).reshape(b, h, n, n)
     p = jax.nn.softmax(s, axis=-1)
     attn = jnp.einsum("bhnm,bhmd->bhnd", p, v)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, n, c)

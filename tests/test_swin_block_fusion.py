@@ -140,17 +140,24 @@ class TestModuleDispatch:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=5e-5, rtol=1e-4)
 
-    def test_shifted_block_falls_back(self, monkeypatch):
+    def test_shifted_block_dispatch_matches(self, monkeypatch):
+        """SW-MSA blocks (shift>0, per-window-kind CPB+mask bias) run the
+        fused kernel too and match the plain path."""
         from routeformer_tpu.models.video_backbone.swin import SwinBlock
 
         blk = SwinBlock(
             64, 4, 4, shift=2, input_hw=(8, 8), gelu_approximate=True,
             rngs=nnx.Rngs(0),
         )
+        assert blk.shift == 2 and blk.attn_mask is not None
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 64),
+                              jnp.float32)
+        monkeypatch.setenv("ROUTEFORMER_SWIN_BLOCK_FUSION", "0")
+        want = blk(x)
         monkeypatch.setenv("ROUTEFORMER_SWIN_BLOCK_FUSION", "interpret")
-        assert blk._fused_block_mode(64) is None
-        x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 64))
-        assert np.isfinite(np.asarray(blk(x))).all()
+        got = blk(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-5, rtol=1e-4)
 
     def test_exact_gelu_falls_back(self, monkeypatch):
         from routeformer_tpu.models.video_backbone.swin import SwinBlock
