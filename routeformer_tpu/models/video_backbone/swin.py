@@ -310,6 +310,11 @@ class SwinBlock(nnx.Module):
         mode = os.getenv("ROUTEFORMER_SWIN_BLOCK_FUSION", "1")
         if mode == "0":
             return None
+        if getattr(_flash_guard, "active", 0):
+            # inside a known-bad-geometry encode (the batch-8 worker-fault
+            # registry): keep the whole encode on the verified einsum path
+            # — no Pallas kernels in the schedule at all
+            return None
         if not self.gelu_approximate or c > 512:
             return None
         if mode == "interpret":

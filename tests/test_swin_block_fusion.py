@@ -191,3 +191,18 @@ class TestModuleDispatch:
             np.testing.assert_allclose(
                 np.asarray(b), np.asarray(a), atol=5e-4, rtol=5e-3
             )
+
+    def test_bad_geometry_guard_disables_fusion(self, monkeypatch):
+        """Inside the known-bad-geometry einsum fallback (the batch-8
+        worker-fault registry), the fused-block dispatch must stay off —
+        no Pallas kernels in that encode's schedule at all."""
+        from routeformer_tpu.models.video_backbone.swin import (
+            _force_einsum_windows,
+        )
+
+        monkeypatch.setenv("ROUTEFORMER_SWIN_BLOCK_FUSION", "interpret")
+        blk = self._block()
+        assert blk._fused_block_mode(64) == "interpret"
+        with _force_einsum_windows():
+            assert blk._fused_block_mode(64) is None
+        assert blk._fused_block_mode(64) == "interpret"
