@@ -295,9 +295,9 @@ class SwinBlock(nnx.Module):
         kernel (ops/swin_block_fusion.py) — measured +24% vs the
         production path on stage-2 blocks (docs/PERF.md round 5).
 
-        Gates: shift=0 only (no per-window-kind mask plumbing yet), tanh
-        gelu (the kernel's activation; "exact" models fall back), and
-        C <= 512 (stage-3's C=1024 MLP weights alone exceed VMEM).
+        Gates: tanh gelu (the kernel's activation; "exact" models fall
+        back), C <= 512 (stage-3's C=1024 MLP weights alone exceed
+        VMEM), and not inside the bad-geometry einsum guard.
 
         Default ON since round 5: step-level cold 24.91 vs 22.86 clips/s
         (+9%, mfu 0.086 vs 0.079, .logs/queue_r5_stage_17_*.log), math
